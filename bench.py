@@ -1,0 +1,107 @@
+"""Benchmark: val-forward scenes/sec/chip on realistic ScanRefer-scale shapes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline context (BASELINE.md): the reference publishes no throughput numbers;
+its forward pass is CPU-bound by per-sample Python candidate filtering and
+mid-forward host<->device collation (SURVEY.md §3.2).  We estimate the
+reference at ~15 scenes/sec forward on an A100 (batch 64, dominated by the
+host loops), and the BASELINE.json north star asks for >=5x that on one v5e
+chip.  ``vs_baseline`` here is ours / 15.0 — i.e. >=5.0 means target met.
+
+Scene shapes mirror the real dataset: 40k points/scene at 0.05 m (~20k scene
+voxels), ~1024-pt instances at 0.02 m, ~3-6 candidates/sample.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REFERENCE_SCENES_PER_SEC = 15.0
+
+
+def main(batch_size: int = 32, iters: int = 20):
+    import jax
+
+    from instancerefer_tpu.data.pipeline import BatchSpec, batch_to_device_dict
+    from instancerefer_tpu.data.synthetic import make_batch
+    from instancerefer_tpu.models.instancerefer import InstanceRefer
+    from instancerefer_tpu.train.evaluate import get_eval
+    from instancerefer_tpu.train.losses import get_loss
+
+    spec = BatchSpec()  # production capacities
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+
+    t0 = time.time()
+    mean_size = np.linspace(0.3, 2.0, 18)[:, None] * np.array([[1.0, 0.9, 0.8]])
+    np_batch = make_batch(
+        batch_size,
+        spec,
+        seed=0,
+        num_points=40000,
+        num_instances=12,
+        num_candidates=4,
+        mean_size_arr=mean_size,
+    )
+    batch = batch_to_device_dict(np_batch, spec)
+    print(f"[bench] data built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    model = InstanceRefer(
+        input_feature_dim=spec.feat_dim,
+        num_classes=spec.num_classes,
+        max_candidates=spec.max_candidates,
+    )
+    import functools
+
+    t0 = time.time()
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch)
+    jax.block_until_ready(variables)
+    print(f"[bench] init in {time.time() - t0:.1f}s", file=sys.stderr)
+    mean_size_j = jax.numpy.asarray(mean_size)
+
+    @jax.jit
+    def eval_step(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        out = get_loss(out, mean_size_j)
+        out = get_eval(out)
+        return out["ref_iou"], out["ref_acc"], out["loss"]
+
+    t0 = time.time()
+    r = eval_step(variables, batch)
+    jax.block_until_ready(r)
+    print(f"[bench] compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
+    r = eval_step(variables, batch)
+    jax.block_until_ready(r)
+
+    t0 = time.time()
+    for _ in range(iters):
+        r = eval_step(variables, batch)
+    jax.block_until_ready(r)
+    dt = time.time() - t0
+    scenes_per_sec = batch_size * iters / dt
+    print(
+        f"[bench] {iters} iters x {batch_size} scenes in {dt:.2f}s "
+        f"-> {scenes_per_sec:.1f} scenes/s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "val_scenes_per_sec_per_chip",
+                "value": round(scenes_per_sec, 2),
+                "unit": "scenes/s",
+                "vs_baseline": round(scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    it = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    main(bs, it)

@@ -1,0 +1,167 @@
+"""Config system: argparse + YAML with the reference's exact schema.
+
+Port of ``lib/config.py`` + ``config/InstanceRefer.yaml`` with one deliberate
+change (SURVEY.md §5): no import-time global singleton — ``load_config`` is an
+explicit call returning a ``Config`` object.  All YAML keys from the reference
+schema (GENERAL/DATA/MODEL/TRAIN sections flattened onto one namespace,
+``lib/config.py:24-26``) are preserved, plus a TPU section for the padded
+capacities this framework introduces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import yaml
+
+from instancerefer_tpu.data.pipeline import BatchSpec
+
+
+@dataclasses.dataclass
+class Config:
+    # GENERAL
+    manual_seed: int = 123
+    # DATA (config/InstanceRefer.yaml:4-15)
+    dataset: str = "ScanRefer"
+    num_points: int = 40000
+    num_scenes: int = -1
+    num_classes: int = 18
+    use_augment: bool = True
+    use_height: bool = True
+    use_color: bool = True
+    use_normal: bool = False
+    use_multiview: bool = False
+    # MODEL (:17-41)
+    model: str = "instancerefer"
+    use_gt_lang: bool = True
+    attribute_module: str = "attribute_module"
+    voxel_size_ap: float = 0.02
+    relation_module: str = "relation_module"
+    k: int = 8
+    scene_module: str = "scene_module"
+    voxel_size_glp: float = 0.05
+    language_module: str = "lang_module"
+    use_bidir: bool = True
+    use_checkpoint: Optional[str] = None
+    use_pretrained: Any = False
+    # TRAIN (:43-57)
+    batch_size: int = 64
+    num_workers: int = 4
+    epoch: int = 25
+    lr: float = 0.001
+    lr_decay_step: Sequence[int] = (15, 20)
+    lr_decay_rate: float = 0.1
+    bn_decay_step: Optional[int] = None
+    bn_decay_rate: Optional[float] = None
+    wd: float = 0.00001
+    verbose: int = 20
+    val_step: int = 2000
+    start_val: int = 0
+    # CLI (lib/config.py:10-17)
+    gpu: str = "0"
+    config: str = "config/InstanceRefer.yaml"
+    log_dir: str = "test"
+    debug: bool = False
+    pretrain: str = ""
+    # constants (lib/config.py:73-75)
+    max_des_len: int = 126
+    seed: int = 42
+    # TPU capacities (new)
+    max_instances: int = 128
+    max_candidates: int = 16
+    scene_caps: Sequence[int] = (20480, 8192, 4096, 2048, 1024)
+    inst_caps: Sequence[int] = (4096, 2048, 1024, 512, 256)
+    # paths (lib/config.py:34-70 tree, rooted at --data_root)
+    data_root: str = "data"
+    output_root: str = "outputs"
+
+    @property
+    def input_feature_dim(self) -> int:
+        """Channel arithmetic of scripts/train.py:74-75."""
+        return (
+            int(self.use_multiview) * 128
+            + int(self.use_normal) * 3
+            + int(self.use_color) * 3
+            + int(self.use_height + 3)
+        )
+
+    def batch_spec(self) -> BatchSpec:
+        return BatchSpec(
+            max_tokens=self.max_des_len,
+            max_instances=self.max_instances,
+            max_candidates=self.max_candidates,
+            scene_caps=tuple(self.scene_caps),
+            inst_caps=tuple(self.inst_caps),
+            num_classes=self.num_classes,
+            feat_dim=self.input_feature_dim,
+        )
+
+    # ---- reference path tree (lib/config.py:34-70)
+    @property
+    def path_data(self):
+        return self.data_root
+
+    @property
+    def path_scannet(self):
+        return os.path.join(self.data_root, "scannet")
+
+    @property
+    def path_scannet_meta(self):
+        return os.path.join(self.path_scannet, "meta_data")
+
+    @property
+    def path_scannet_data(self):
+        return os.path.join(self.path_scannet, "pointgroup_data")
+
+    @property
+    def path_glove(self):
+        return os.path.join(self.data_root, "glove.p")
+
+    @property
+    def path_multiview(self):
+        return os.path.join(self.data_root, "enet_feats_maxpool.hdf5")
+
+    @property
+    def exp_path(self):
+        return os.path.join(self.output_root, self.dataset, self.log_dir)
+
+    @property
+    def path_output(self):
+        return os.path.join(self.exp_path, "checkpoints")
+
+
+def _flatten_yaml(cfg_file: str) -> Dict[str, Any]:
+    with open(cfg_file) as f:
+        raw = yaml.safe_load(f)
+    flat: Dict[str, Any] = {}
+    for section in raw or {}:
+        for k, v in (raw[section] or {}).items():
+            flat[k] = v
+    return flat
+
+
+def load_config(argv: Optional[List[str]] = None) -> Config:
+    """CLI flags (lib/config.py:10-17) + YAML sections -> Config."""
+    parser = argparse.ArgumentParser(description="InstanceRefer-TPU")
+    parser.add_argument("--gpu", type=str, default="0", help="device idx (kept for CLI parity)")
+    parser.add_argument("--config", type=str, default="config/InstanceRefer.yaml")
+    parser.add_argument("--log_dir", type=str, default="test")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--pretrain", type=str, default="")
+    parser.add_argument("--data_root", type=str, default="data")
+    parser.add_argument("--output_root", type=str, default="outputs")
+    args = parser.parse_args(argv)
+
+    cfg = Config()
+    if args.config and os.path.exists(args.config):
+        flat = _flatten_yaml(args.config)
+        known = {f.name for f in dataclasses.fields(Config)}
+        for k, v in flat.items():
+            if k in known and v is not None:
+                setattr(cfg, k, v)
+    for k in ["gpu", "config", "log_dir", "debug", "pretrain", "data_root", "output_root"]:
+        setattr(cfg, k, getattr(args, k))
+    return cfg

@@ -1,0 +1,400 @@
+"""ScanRefer dataset: per-annotation CoreSample assembly from ScanNet artifacts.
+
+Port of reference ``lib/dataset.py`` (``ScannetReferenceDataset``) with the
+augmentation/instance-grouping semantics preserved, emitting ``CoreSample``s
+that the padded pipeline (``pipeline.pad_sample``/``collate``) turns into
+static batches.  Differences by design:
+
+* explicit numpy RNG instead of the reference's mixed ``np.random``/
+  ``torch.rand`` worker nondeterminism (SURVEY.md §7 hard part 4),
+* candidate filtering and voxelization happen here (not mid-forward),
+* ragged per-sample lists never cross into the device step.
+
+Expected on-disk layout (identical to the reference's, ``lib/config.py:49-63``):
+  {data_root}/scannet/pointgroup_data/{scene_id}_aligned_vert.npy        [N, 6+]
+  {data_root}/scannet/pointgroup_data/{scene_id}_ins_label_pg.npy        [N]
+  {data_root}/scannet/pointgroup_data/{scene_id}_sem_label_pg.npy        [N]
+  {data_root}/scannet/pointgroup_data/{scene_id}_aligned_bbox.npy        [K, 8]
+  {data_root}/glove.p                      (pickled {token: [300] float})
+  {data_root}/ScanRefer_filtered_{split}.json
+  {data_root}/enet_feats_maxpool.hdf5      (optional, use_multiview)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from instancerefer_tpu.data.pipeline import (
+    MEAN_COLOR_RGB,
+    BatchSpec,
+    CoreSample,
+    collate,
+    compute_height_feature,
+    pad_sample,
+    random_sampling,
+)
+from instancerefer_tpu.data.scannet_config import ScannetDatasetConfig
+from instancerefer_tpu.utils.pc_utils import rotx, roty, rotz
+
+
+def rotate_aligned_boxes_along_axis(boxes, rot_mat, axis):
+    """Port of data/scannet/model_util_scannet.py:51-83."""
+    centers, lengths = boxes[:, 0:3], boxes[:, 3:6]
+    new_centers = np.dot(centers, rot_mat.T)
+    if axis == "x":
+        d1, d2 = lengths[:, 1] / 2.0, lengths[:, 2] / 2.0
+    elif axis == "y":
+        d1, d2 = lengths[:, 0] / 2.0, lengths[:, 2] / 2.0
+    else:
+        d1, d2 = lengths[:, 0] / 2.0, lengths[:, 1] / 2.0
+    new_1 = np.zeros((d1.shape[0], 4))
+    new_2 = np.zeros((d1.shape[0], 4))
+    for i, crnr in enumerate([(-1, -1), (1, -1), (1, 1), (-1, 1)]):
+        crnrs = np.zeros((d1.shape[0], 3))
+        crnrs[:, 0] = crnr[0] * d1
+        crnrs[:, 1] = crnr[1] * d2
+        crnrs = np.dot(crnrs, rot_mat.T)
+        new_1[:, i] = crnrs[:, 0]
+        new_2[:, i] = crnrs[:, 1]
+    new_d1 = 2.0 * np.max(new_1, 1)
+    new_d2 = 2.0 * np.max(new_2, 1)
+    if axis == "x":
+        new_lengths = np.stack((lengths[:, 0], new_d1, new_d2), axis=1)
+    elif axis == "y":
+        new_lengths = np.stack((new_d1, lengths[:, 1], new_d2), axis=1)
+    else:
+        new_lengths = np.stack((new_d1, new_d2, lengths[:, 2]), axis=1)
+    return np.concatenate([new_centers, new_lengths], axis=1)
+
+
+class ScannetReferenceDataset:
+    """Per-annotation sample assembly (lib/dataset.py:37-300)."""
+
+    def __init__(
+        self,
+        scanrefer: List[dict],
+        split: str = "train",
+        *,
+        data_root: str = "data",
+        num_points: int = 40000,
+        use_color: bool = True,
+        use_height: bool = True,
+        use_normal: bool = False,
+        use_multiview: bool = False,
+        use_augment: bool = True,
+        seed: int = 42,
+        dc: Optional[ScannetDatasetConfig] = None,
+    ):
+        self.scanrefer = scanrefer
+        self.split = split
+        self.data_root = data_root
+        self.num_points = num_points
+        self.use_color = use_color
+        self.use_height = use_height
+        self.use_normal = use_normal
+        self.use_multiview = use_multiview
+        self.augment = use_augment if split == "train" else False
+        self.seed = seed
+        self.scannet_data = os.path.join(data_root, "scannet", "pointgroup_data")
+        meta_dir = os.path.join(data_root, "scannet", "meta_data")
+        self.dc = dc or ScannetDatasetConfig(meta_dir=meta_dir)
+        tsv = os.path.join(meta_dir, "scannetv2-labels.combined.tsv")
+        self.raw2label = (
+            self.dc.raw2label_from_tsv(tsv) if os.path.exists(tsv) else {}
+        )
+        self.unique_multiple_lookup = self._get_unique_multiple_lookup()
+
+        glove_path = os.path.join(data_root, "glove.p")
+        with open(glove_path, "rb") as f:
+            self.glove = pickle.load(f)
+        self._scene_cache: Dict[str, tuple] = {}
+        self._multiview = None
+
+    def __len__(self):
+        return len(self.scanrefer)
+
+    # ------------------------------------------------------------------ lookup
+    def _object_cat(self, object_name: str) -> int:
+        return self.raw2label.get(object_name, 17)
+
+    def _get_unique_multiple_lookup(self):
+        """lib/dataset.py:322-372: 0 if the target class is unique in its scene."""
+        all_sem: Dict[str, List[int]] = {}
+        seen: Dict[str, set] = {}
+        for data in self.scanrefer:
+            sid = data["scene_id"]
+            name = " ".join(data["object_name"].split("_"))
+            all_sem.setdefault(sid, [])
+            seen.setdefault(sid, set())
+            if data["object_id"] not in seen[sid]:
+                seen[sid].add(data["object_id"])
+                all_sem[sid].append(self._object_cat(name))
+        all_sem = {k: np.array(v) for k, v in all_sem.items()}
+        lut: Dict[str, Dict[str, Dict[str, int]]] = {}
+        for data in self.scanrefer:
+            sid, oid, aid = data["scene_id"], data["object_id"], data["ann_id"]
+            name = " ".join(data["object_name"].split("_"))
+            sem = self._object_cat(name)
+            um = 0 if (all_sem[sid] == sem).sum() == 1 else 1
+            lut.setdefault(sid, {}).setdefault(str(oid), {})[str(aid)] = um
+        return lut
+
+    # ------------------------------------------------------------------- build
+    def _load_scene(self, scene_id: str):
+        base = os.path.join(self.scannet_data, scene_id)
+        verts = np.load(base + "_aligned_vert.npy")
+        ins = np.load(base + "_ins_label_pg.npy")
+        sem = np.load(base + "_sem_label_pg.npy")
+        bboxes = np.load(base + "_aligned_bbox.npy")
+        return verts, ins, sem, bboxes
+
+    def _multiview_feats(self, scene_id):
+        import h5py
+
+        if self._multiview is None:
+            self._multiview = h5py.File(
+                os.path.join(self.data_root, "enet_feats_maxpool.hdf5"),
+                "r", libver="latest", swmr=True,
+            )
+        return np.array(self._multiview[scene_id])
+
+    def get_core(self, idx: int, rng: Optional[np.random.Generator] = None) -> CoreSample:
+        rng = rng or np.random.default_rng(self.seed + idx)
+        entry = self.scanrefer[idx]
+        scene_id = entry["scene_id"]
+        object_id = int(entry["object_id"])
+        object_name = " ".join(entry["object_name"].split("_"))
+        ann_id = int(entry["ann_id"])
+        object_cat = self._object_cat(object_name)
+
+        # ---- language (lib/dataset.py:72-92)
+        tokens = entry["token"]
+        max_len = 126
+        emb = np.zeros((max_len, 300), np.float32)
+        for t, token in enumerate(tokens[:max_len]):
+            if token.isspace():
+                continue
+            emb[t] = self.glove.get(token, self.glove["unk"])
+        lang_len = min(len([t for t in tokens if not t.isspace()]), max_len)
+
+        # ---- point cloud features (:94-123)
+        mesh_vertices, instance_labels, semantic_labels, instance_bboxes = \
+            self._load_scene(scene_id)
+        if not self.use_color:
+            point_cloud = mesh_vertices[:, 0:3]
+        else:
+            point_cloud = mesh_vertices[:, 0:6].copy()
+            point_cloud[:, 3:6] = (point_cloud[:, 3:6] - MEAN_COLOR_RGB) / 256.0
+        if self.use_normal:
+            point_cloud = np.concatenate([point_cloud, mesh_vertices[:, 6:9]], 1)
+        if self.use_multiview:
+            point_cloud = np.concatenate(
+                [point_cloud, self._multiview_feats(scene_id)], 1
+            )
+        if self.use_height:
+            height = compute_height_feature(point_cloud)
+            point_cloud = np.concatenate([point_cloud, height[:, None]], 1)
+
+        point_cloud, choices = random_sampling(point_cloud, self.num_points, rng)
+        instance_labels = instance_labels[choices]
+        semantic_labels = semantic_labels[choices]
+
+        # ---- labels + augmentation (:130-197)
+        MAX_NUM_OBJ = 128
+        target_bboxes = np.zeros((MAX_NUM_OBJ, 6))
+        size_classes = np.zeros(MAX_NUM_OBJ)
+        size_residuals = np.zeros((MAX_NUM_OBJ, 3))
+        ref_center = np.zeros(3, np.float32)
+        ref_size_class = 0
+        ref_size_residual = np.zeros(3, np.float32)
+        if self.split != "test":
+            num_bbox = min(instance_bboxes.shape[0], MAX_NUM_OBJ)
+            target_bboxes[:num_bbox] = instance_bboxes[:num_bbox, 0:6]
+
+            if self.augment:
+                if rng.random() > 0.5:  # flip YZ plane
+                    point_cloud[:, 0] = -point_cloud[:, 0]
+                    target_bboxes[:, 0] = -target_bboxes[:, 0]
+                if rng.random() > 0.5:  # flip XZ plane
+                    point_cloud[:, 1] = -point_cloud[:, 1]
+                    target_bboxes[:, 1] = -target_bboxes[:, 1]
+                for rot_fn, axis in ((rotx, "x"), (roty, "y"), (rotz, "z")):
+                    rot_angle = (rng.random() * np.pi / 18) - np.pi / 36  # ±5°
+                    rot_mat = rot_fn(rot_angle)
+                    point_cloud[:, 0:3] = np.dot(point_cloud[:, 0:3], rot_mat.T)
+                    target_bboxes = rotate_aligned_boxes_along_axis(
+                        target_bboxes, rot_mat, axis
+                    )
+                factor = rng.random(3) - 0.5  # translation (:442-454)
+                point_cloud[:, :3] += factor
+                target_bboxes[:, :3] += factor
+
+            class_ind = [
+                self.dc.nyu40id2class[int(x)] for x in instance_bboxes[:num_bbox, -2]
+            ]
+            size_classes[:num_bbox] = class_ind
+            size_residuals[:num_bbox] = (
+                target_bboxes[:num_bbox, 3:6] - self.dc.mean_size_arr[class_ind]
+            )
+            for i, gt_id in enumerate(instance_bboxes[:num_bbox, -1]):
+                if gt_id == object_id:
+                    ref_center = target_bboxes[i, 0:3].astype(np.float32)
+                    ref_size_class = int(size_classes[i])
+                    ref_size_residual = size_residuals[i].astype(np.float32)
+
+        # ---- instance grouping (:201-245)
+        instance_points, instance_class, instance_obbs, ref_target = [], [], [], []
+        for i_instance in np.unique(instance_labels):
+            ind = np.nonzero(instance_labels == i_instance)[0]
+            ins_class = semantic_labels[ind[0]]
+            if ins_class in self.dc.nyu40ids:
+                x = point_cloud[ind]
+                cls18 = self.dc.nyu40id2class[int(ins_class)]
+                instance_class.append(cls18)
+                pc = x[:, :3]
+                center = 0.5 * (pc.min(0) + pc.max(0))
+                size = pc.max(0) - pc.min(0)
+                instance_obbs.append(
+                    np.concatenate([center, size, [0.0]]).astype(np.float32)
+                )
+                sampled, _ = random_sampling(x, 1024, rng)
+                instance_points.append(sampled.astype(np.float32))
+                ref_target.append(1 if i_instance == object_id + 1 else 0)
+
+        return CoreSample(
+            lang_feat=emb,
+            lang_len=lang_len,
+            object_cat=object_cat,
+            point_cloud=point_cloud.astype(np.float32),
+            instance_points=instance_points,
+            instance_class=instance_class,
+            instance_obbs=instance_obbs,
+            ref_center_label=ref_center,
+            ref_size_class_label=ref_size_class,
+            ref_size_residual_label=ref_size_residual,
+            unique_multiple=self.unique_multiple_lookup[scene_id][str(object_id)][
+                str(ann_id)
+            ],
+            object_id=object_id,
+            ann_id=ann_id,
+            scan_idx=idx,
+            ref_target=np.array(ref_target, np.int32),
+        )
+
+
+def get_scanrefer(data_root: str, split: str, num_scenes: int = -1) -> List[dict]:
+    """Load + optionally subset the ScanRefer annotation list
+    (scripts/train.py:165-190)."""
+    path = os.path.join(data_root, f"ScanRefer_filtered_{split}.json")
+    with open(path) as f:
+        scanrefer = json.load(f)
+    scene_list = sorted(set(d["scene_id"] for d in scanrefer))
+    if num_scenes > 0:
+        scene_list = scene_list[:num_scenes]
+        scanrefer = [d for d in scanrefer if d["scene_id"] in scene_list]
+    return scanrefer
+
+
+class PaddedLoader:
+    """Multiprocess batched loader: CoreSample -> pad_sample -> collate.
+
+    The reference parallelizes with 4 DataLoader workers
+    (``config/InstanceRefer.yaml:45``); here a process pool builds padded
+    samples (including all voxel pyramids + kernel maps) so the main process
+    only stacks arrays and feeds the device.
+    """
+
+    def __init__(
+        self,
+        dataset: ScannetReferenceDataset,
+        spec: BatchSpec,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        voxel_size_ap: float = 0.02,
+        voxel_size_glp: float = 0.05,
+    ):
+        self.dataset = dataset
+        self.spec = spec
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.voxel_size_ap = voxel_size_ap
+        self.voxel_size_glp = voxel_size_glp
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _build_one(self, args):
+        idx, sample_seed = args
+        rng = np.random.default_rng(sample_seed)
+        core = self.dataset.get_core(idx, rng)
+        return pad_sample(
+            core, self.spec, self.voxel_size_ap, self.voxel_size_glp
+        )
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+
+        tasks = [(int(i), int(rng.integers(2**31))) for i in order]
+        nb = len(self)
+
+        def finalize(batch):
+            """Pad a partial final batch to the static batch size (repeating the
+            last sample) so jit never sees a new shape; ``sample_valid`` marks
+            the real rows for metric aggregation."""
+            valid = len(batch)
+            while len(batch) < self.batch_size:
+                batch.append(batch[-1])
+            out = collate(batch, self.spec)
+            mask = np.zeros(self.batch_size, bool)
+            mask[:valid] = True
+            out["sample_valid"] = mask
+            return out
+
+        if self.num_workers > 0:
+            # Thread pool, not fork: the heavy sample-build work (C++ voxelizer
+            # via ctypes, numpy sort/searchsorted) releases the GIL, and fork
+            # after JAX initialization deadlocks (JAX is multithreaded).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                it = pool.map(self._build_one, tasks, chunksize=2)
+                batch = []
+                done = 0
+                for padded in it:
+                    batch.append(padded)
+                    if len(batch) == self.batch_size:
+                        yield finalize(batch)
+                        batch = []
+                        done += 1
+                        if done >= nb:
+                            break
+                if batch and not self.drop_last:
+                    yield finalize(batch)
+        else:
+            batch = []
+            for t in tasks:
+                batch.append(self._build_one(t))
+                if len(batch) == self.batch_size:
+                    yield finalize(batch)
+                    batch = []
+            if batch and not self.drop_last:
+                yield finalize(batch)

@@ -1,0 +1,294 @@
+"""Host-side sample construction and padded-batch collation.
+
+TPU-native re-design of reference ``lib/dataset.py`` +
+``AttributeModule.filter_candidates`` + ``RelationModule.filter_candidates``:
+everything the reference computes in Python loops *inside the forward pass*
+(candidate filtering, per-candidate re-voxelization, relation node features —
+``models/attribute_module.py:42-81``, ``models/relation_module.py:38-78``)
+moves here, into dataloader workers, so the device step is a single static
+graph.  The default config filters candidates by the GT class
+(``use_gt_lang: True``, ``config/InstanceRefer.yaml:21``), which the dataset
+knows — so the filter is computable at data time.
+
+Produces, per batch, the padded ``data_dict`` described in ``BatchSpec``.
+All per-sample voxel arrays occupy uniform blocks of ``cap`` rows, so the
+leading dimension of every array is divisible by the batch size — which is
+exactly what data-parallel sharding over the ``data`` mesh axis needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from instancerefer_tpu.ops import voxelize as V
+
+MEAN_COLOR_RGB = np.array([109.8, 97.2, 83.8])  # lib/dataset.py:22
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchSpec:
+    """Static capacities of a padded batch (all shapes derive from these)."""
+
+    max_tokens: int = 126  # CONF.TRAIN.MAX_DES_LEN (lib/config.py:74)
+    max_instances: int = 128  # MAX_NUM_OBJ (lib/dataset.py:21)
+    max_candidates: int = 16
+    num_stages: int = 5
+    # per-sample voxel row budgets per pyramid stage
+    scene_caps: Sequence[int] = (20480, 8192, 4096, 2048, 1024)
+    inst_caps: Sequence[int] = (4096, 2048, 1024, 512, 256)
+    num_classes: int = 18
+    feat_dim: int = 7  # xyz + rgb + height (train.py:74-75 channel arithmetic)
+
+    def scaled(self, factor: float) -> "BatchSpec":
+        """Shrink capacities (e.g. for tests) keeping structure."""
+        return dataclasses.replace(
+            self,
+            scene_caps=tuple(max(8, int(c * factor)) for c in self.scene_caps),
+            inst_caps=tuple(max(8, int(c * factor)) for c in self.inst_caps),
+        )
+
+
+def compute_height_feature(point_cloud: np.ndarray) -> np.ndarray:
+    """z - floor height; floor = 0.99th percentile of z (lib/dataset.py:120-123
+    — note the reference passes 0.99 to np.percentile, i.e. the 0.99th
+    percentile ≈ the floor, a quirk preserved here)."""
+    floor = np.percentile(point_cloud[:, 2], 0.99)
+    return point_cloud[:, 2] - floor
+
+
+def random_sampling(points: np.ndarray, n: int, rng: np.random.Generator):
+    """utils/pc_utils.py:32-40: choice with replacement iff fewer points."""
+    replace = points.shape[0] < n
+    idx = rng.choice(points.shape[0], n, replace=replace)
+    return points[idx], idx
+
+
+@dataclasses.dataclass
+class CoreSample:
+    """Unpadded per-annotation sample (what lib/dataset.py __getitem__ builds)."""
+
+    lang_feat: np.ndarray  # [T, 300]
+    lang_len: int
+    object_cat: int
+    point_cloud: np.ndarray  # [N, 7]
+    instance_points: List[np.ndarray]  # Ki x [1024, 7]
+    instance_class: List[int]
+    instance_obbs: List[np.ndarray]  # Ki x [7]
+    ref_center_label: np.ndarray  # [3]
+    ref_size_class_label: int
+    ref_size_residual_label: np.ndarray  # [3]
+    unique_multiple: int
+    object_id: int
+    ann_id: int
+    scan_idx: int
+    ref_target: Optional[np.ndarray] = None  # [Ki] 0/1 (gt instance marker)
+
+
+def pad_sample(
+    core: CoreSample,
+    spec: BatchSpec,
+    voxel_size_ap: float = 0.02,
+    voxel_size_glp: float = 0.05,
+) -> Dict[str, np.ndarray]:
+    """CoreSample -> per-sample padded arrays (local voxel-row indices)."""
+    t = spec.max_tokens
+    m = spec.max_instances
+    cmax = spec.max_candidates
+
+    out: Dict[str, np.ndarray] = {}
+    lang_feat = np.zeros((t, 300), np.float32)
+    lang_feat[: core.lang_feat.shape[0]] = core.lang_feat[:t]
+    out["lang_feat"] = lang_feat
+    out["lang_len"] = np.int32(min(core.lang_len, t))
+    out["object_cat"] = np.int32(core.object_cat)
+
+    k = min(len(core.instance_points), m)
+    inst_mask = np.zeros(m, bool)
+    inst_mask[:k] = True
+    inst_class = np.zeros(m, np.int32)
+    inst_obbs = np.zeros((m, 7), np.float32)
+    node_feat = np.zeros((m, spec.feat_dim), np.float32)
+    for i in range(k):
+        inst_class[i] = core.instance_class[i]
+        inst_obbs[i] = core.instance_obbs[i]
+        # relation node feature: mean point feature, xyz <- obb center
+        # (models/relation_module.py:66-69)
+        mean_feat = core.instance_points[i].mean(0).astype(np.float32)
+        mean_feat[:3] = core.instance_obbs[i][:3]
+        node_feat[i] = mean_feat[: spec.feat_dim]
+    out["instance_mask"] = inst_mask
+    out["instance_class"] = inst_class
+    out["instance_obbs"] = inst_obbs
+    out["instance_node_feat"] = node_feat
+
+    # ---- candidates: instances whose class == GT object class
+    cand_idx = [i for i in range(k) if inst_class[i] == core.object_cat][:cmax]
+    num_cand = len(cand_idx)
+    cand_mask = np.zeros(cmax, bool)
+    cand_mask[:num_cand] = True
+    cand_slot = np.zeros(cmax, np.int32)
+    cand_slot[:num_cand] = cand_idx
+    pred_obb = np.zeros((cmax, 7), np.float32)
+    pred_obb[:num_cand] = inst_obbs[cand_idx]
+    out["cand_mask"] = cand_mask
+    out["cand_slot"] = cand_slot
+    out["pred_obb_batch"] = pred_obb
+
+    # ---- instance voxel pyramid: only when >=2 candidates (the reference
+    # never runs the encoder otherwise — models/attribute_module.py:75-76 —
+    # which also keeps BatchNorm statistics identical)
+    groups = []
+    inst_feat_rows = []
+    if num_cand >= 2:
+        for local_c, i in enumerate(cand_idx):
+            pts = core.instance_points[i]
+            coords, feats = V.quantize(pts[:, :3], pts[:, : spec.feat_dim], voxel_size_ap)
+            groups.append(V.build_pyramid(coords, owner=local_c, num_stages=spec.num_stages))
+            inst_feat_rows.append(feats.astype(np.float32))
+    merged = V.concat_stages(groups, spec.num_stages)
+    inst_feats = (
+        np.concatenate(inst_feat_rows, axis=0)
+        if inst_feat_rows
+        else np.zeros((0, spec.feat_dim), np.float32)
+    )
+    out.update(
+        _pack_pyramid(merged, inst_feats, spec.inst_caps, prefix="inst", feat_dim=spec.feat_dim)
+    )
+
+    # ---- scene voxel pyramid at voxel_size_glp (lib/dataset.py:256-261)
+    coords, feats = V.quantize(
+        core.point_cloud[:, :3], core.point_cloud[:, : spec.feat_dim], voxel_size_glp
+    )
+    scene_pyr = V.build_pyramid(coords, owner=0, num_stages=spec.num_stages)
+    out.update(
+        _pack_pyramid(
+            scene_pyr, feats.astype(np.float32), spec.scene_caps, prefix="scene",
+            feat_dim=spec.feat_dim,
+        )
+    )
+
+    out["point_min"] = core.point_cloud[:, :3].min(0).astype(np.float32)
+    out["point_max"] = core.point_cloud[:, :3].max(0).astype(np.float32)
+    out["ref_center_label"] = core.ref_center_label.astype(np.float32)
+    out["ref_heading_class_label"] = np.int32(0)
+    out["ref_heading_residual_label"] = np.int32(0)
+    out["ref_size_class_label"] = np.int32(core.ref_size_class_label)
+    out["ref_size_residual_label"] = core.ref_size_residual_label.astype(np.float32)
+    out["unique_multiple"] = np.int32(core.unique_multiple)
+    out["object_id"] = np.int32(core.object_id)
+    out["ann_id"] = np.int32(core.ann_id)
+    out["scan_idx"] = np.int32(core.scan_idx)
+    return out
+
+
+def _pack_pyramid(
+    stages: List[V.StageArrays],
+    feats: np.ndarray,
+    caps: Sequence[int],
+    prefix: str,
+    feat_dim: int,
+) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    n0 = min(len(feats), caps[0])
+    f = np.zeros((caps[0], feat_dim), np.float32)
+    f[:n0] = feats[:n0]
+    out[f"{prefix}_feats"] = f
+    for s, cap in enumerate(caps):
+        st = V.pad_stage(stages[s], cap, caps[s - 1] if s > 0 else None)
+        out[f"{prefix}_coords_{s}"] = st.coords
+        out[f"{prefix}_owner_{s}"] = st.owner
+        out[f"{prefix}_nbr3_{s}"] = st.nbr3
+        if s > 0:
+            out[f"{prefix}_down_{s}"] = st.down
+    return out
+
+
+def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, np.ndarray]:
+    """Stack per-sample arrays; flatten voxel blocks with index offsets.
+
+    The flat layout gives every voxel array a leading dim of ``B * cap`` with
+    sample ``b`` owning rows ``[b*cap, (b+1)*cap)``; neighbor maps get the
+    same offset (padding -1 preserved); owners become global ids
+    (scene: batch index, instance: ``b * max_candidates + local_candidate``).
+    """
+    b = len(samples)
+    cmax = spec.max_candidates
+    out: Dict[str, np.ndarray] = {}
+
+    pyramid_keys = {
+        k for k in samples[0] if k.startswith(("scene_", "inst_")) and k != "instance_mask"
+    }
+    plain = [k for k in samples[0] if k not in pyramid_keys]
+    for k in plain:
+        out[k] = np.stack([s[k] for s in samples])
+
+    for prefix, caps in (("scene", spec.scene_caps), ("inst", spec.inst_caps)):
+        out[f"{prefix}_feats"] = np.concatenate([s[f"{prefix}_feats"] for s in samples])
+        for s_i, cap in enumerate(caps):
+            coords = np.concatenate([s[f"{prefix}_coords_{s_i}"] for s in samples])
+            owners = []
+            nbrs = []
+            downs = []
+            for bi, smp in enumerate(samples):
+                ow = smp[f"{prefix}_owner_{s_i}"]
+                if prefix == "scene":
+                    owners.append(np.where(ow >= 0, bi, -1).astype(np.int32))
+                else:
+                    owners.append(np.where(ow >= 0, ow + bi * cmax, -1).astype(np.int32))
+                nb = smp[f"{prefix}_nbr3_{s_i}"]
+                nbrs.append(np.where(nb >= 0, nb + bi * cap, -1).astype(np.int32))
+                if s_i > 0:
+                    dn = smp[f"{prefix}_down_{s_i}"]
+                    prev_cap = caps[s_i - 1]
+                    downs.append(np.where(dn >= 0, dn + bi * prev_cap, -1).astype(np.int32))
+            out[f"{prefix}_coords_{s_i}"] = coords
+            out[f"{prefix}_owner_{s_i}"] = np.concatenate(owners)
+            out[f"{prefix}_nbr3_{s_i}"] = np.concatenate(nbrs)
+            if s_i > 0:
+                out[f"{prefix}_down_{s_i}"] = np.concatenate(downs)
+    return out
+
+
+def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
+    """Flat numpy batch -> the data_dict pytree the model consumes.
+
+    Leaves stay numpy — ``parallel.mesh.shard_batch`` (or jax dispatch) moves
+    them to devices, so there is exactly one host->device transfer per array.
+    """
+    from instancerefer_tpu.ops.sparse import SparseStage
+
+    dd = {
+        k: v
+        for k, v in batch.items()
+        if not k.startswith(("scene_coords", "scene_owner", "scene_nbr3", "scene_down",
+                             "inst_coords", "inst_owner", "inst_nbr3", "inst_down"))
+    }
+
+    def pyramid(prefix):
+        stages = []
+        for s in range(spec.num_stages):
+            nbr3 = batch[f"{prefix}_nbr3_{s}"]
+            down = (
+                batch[f"{prefix}_down_{s}"]
+                if s > 0
+                else np.zeros((nbr3.shape[0], 0), np.int32)
+            )
+            owner = batch[f"{prefix}_owner_{s}"]
+            stages.append(
+                SparseStage(
+                    coords=batch[f"{prefix}_coords_{s}"],
+                    owner=owner,
+                    mask=owner >= 0,
+                    nbr3=nbr3,
+                    down=down,
+                    stride=1 << s,
+                )
+            )
+        return tuple(stages)
+
+    dd["scene_pyramid"] = pyramid("scene")
+    dd["inst_pyramid"] = pyramid("inst")
+    return dd

@@ -1,0 +1,253 @@
+"""Sparse-conv building blocks, flax/linen over padded SparseStage pyramids.
+
+TPU-native re-design of reference ``models/basic_blocks.py``:
+
+* ``spnn.Conv3d`` (CUDA gather-scatter GEMM)  -> ``SubMConv3``/``DownConv2``
+  over host-built kernel maps (``ops/sparse.gather_conv``).
+* ``spnn.BatchNorm``/``spnn.ReLU``            -> ``MaskedBatchNorm`` with
+  mask-weighted statistics over valid voxel rows (+ plain ReLU).
+* ``SparseConvEncoder`` / ``BEVEncoder``      -> same topology (stem 3^3 conv,
+  4 stages of [ks=2 stride-2 conv + residual block], channels
+  in->32->64->128->128->128; reference ``models/basic_blocks.py:59-95,136-171``).
+* ``SparseCrop`` + ``ToDenseBEVConvolution``  -> mask + per-z-bin kernel
+  scatter-add into a dense NHWC BEV grid (reference
+  ``models/basic_blocks.py:174-243``; the cuSPARSE ``to_dense`` scatter becomes
+  a ``.at[].add``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from instancerefer_tpu.ops.sparse import SparseStage, gather_conv
+
+
+def torch_uniform(fan_in: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch's Linear/Conv default init."""
+    bound = 1.0 / math.sqrt(max(fan_in, 1))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with torch's default kaiming-uniform init (bound 1/sqrt(fan_in))."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_uniform(fan_in), (fan_in, self.features))
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", torch_uniform(fan_in), (self.features,))
+        return y
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over padded rows: statistics weighted by a validity mask.
+
+    Matches torch BN semantics: training normalizes by the *biased* batch
+    variance; running_var accumulates the *unbiased* estimate; momentum m
+    means ``running = (1-m)*running + m*batch`` (default m=0.1, eps=1e-5).
+    ``bn_momentum`` is a call argument so the reference's BNMomentumScheduler
+    (``lib/scheduler_helper.py``) maps onto a per-epoch value from the solver.
+    """
+
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, train: bool, momentum: float = 0.1):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+
+        if train:
+            flat = x.reshape(-1, self.features)
+            if mask is None:
+                n = jnp.asarray(flat.shape[0], jnp.float32)
+                mean = jnp.mean(flat, axis=0)
+                var = jnp.mean(jnp.square(flat), axis=0) - jnp.square(mean)
+            else:
+                m = mask.reshape(-1).astype(jnp.float32)
+                n = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(flat * m[:, None], axis=0) / n
+                var = jnp.sum(jnp.square(flat) * m[:, None], axis=0) / n - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (1.0 - momentum) * ra_mean.value + momentum * mean
+                ra_var.value = (1.0 - momentum) * ra_var.value + momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        shape = (1,) * (x.ndim - 1) + (self.features,)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean.reshape(shape)) * (inv * scale).reshape(shape) + bias.reshape(shape)
+
+
+def _conv_init(k: int, cin: int):
+    # torchsparse 1.2 Conv3d init: U(-s, s) with s = sqrt(1 / (k^3 * cin))-ish;
+    # exact constant is immaterial for from-scratch training.
+    return torch_uniform(k * cin)
+
+
+class SubMConv3(nn.Module):
+    """3^3 stride-1 submanifold sparse conv (output coords == input coords)."""
+
+    features: int
+    use_bias: bool = False  # spnn.Conv3d has no bias by default
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, sv: SparseStage) -> jnp.ndarray:
+        cin = feats.shape[-1]
+        kernel = self.param("kernel", _conv_init(27, cin), (27, cin, self.features))
+        out = gather_conv(feats, sv.nbr3, kernel)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+        return out
+
+
+class DownConv2(nn.Module):
+    """2^3 stride-2 sparse conv: previous stage rows -> this stage rows."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, feats_prev: jnp.ndarray, sv: SparseStage) -> jnp.ndarray:
+        cin = feats_prev.shape[-1]
+        kernel = self.param("kernel", _conv_init(8, cin), (8, cin, self.features))
+        return gather_conv(feats_prev, sv.down, kernel)
+
+
+class BasicConvolutionBlock(nn.Module):
+    """Conv3d + BatchNorm + ReLU (reference ``models/basic_blocks.py:10-25``)."""
+
+    features: int
+    ks: int = 3  # 3 => submanifold stride 1; 2 => stride-2 downsample
+
+    @nn.compact
+    def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
+        if self.ks == 3:
+            x = SubMConv3(self.features, name="conv")(feats, sv)
+        elif self.ks == 2:
+            x = DownConv2(self.features, name="conv")(feats, sv)
+        else:
+            raise ValueError(f"unsupported kernel size {self.ks}")
+        x = MaskedBatchNorm(self.features, name="bn")(
+            x, sv.mask, train=train, momentum=bn_momentum
+        )
+        return nn.relu(x)
+
+
+class ResidualBlock(nn.Module):
+    """conv3-BN-ReLU-conv3-BN + identity, ReLU
+    (reference ``models/basic_blocks.py:28-56``; all uses have inc == outc and
+    stride 1, so the downsample branch is the identity)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
+        x = SubMConv3(self.features, name="conv1")(feats, sv)
+        x = MaskedBatchNorm(self.features, name="bn1")(x, sv.mask, train=train, momentum=bn_momentum)
+        x = nn.relu(x)
+        x = SubMConv3(self.features, name="conv2")(x, sv)
+        x = MaskedBatchNorm(self.features, name="bn2")(x, sv.mask, train=train, momentum=bn_momentum)
+        return nn.relu(x + feats)
+
+
+class SparseConvEncoder(nn.Module):
+    """Stem + 4 downsample/residual stages; channels in->32->64->128->128->128.
+
+    Topology mirror of reference ``models/basic_blocks.py:59-95``.  Takes the
+    5-stage pyramid and returns the final stage's features (stride 16).
+    """
+
+    widths: Sequence[int] = (32, 64, 128, 128, 128)
+
+    @nn.compact
+    def __call__(self, feats, pyramid: Sequence[SparseStage], *, train: bool, bn_momentum: float = 0.1):
+        w = self.widths
+        x = BasicConvolutionBlock(w[0], ks=3, name="stem")(
+            feats, pyramid[0], train=train, bn_momentum=bn_momentum
+        )
+        for i in range(1, 5):
+            x = BasicConvolutionBlock(w[i], ks=2, name=f"stage{i}_down")(
+                x, pyramid[i], train=train, bn_momentum=bn_momentum
+            )
+            x = ResidualBlock(w[i], name=f"stage{i}_res")(
+                x, pyramid[i], train=train, bn_momentum=bn_momentum
+            )
+        return x
+
+
+class BEVEncoder(SparseConvEncoder):
+    """Scene encoder; identical topology (reference ``models/basic_blocks.py:136-171``)."""
+
+
+def sparse_crop_mask(sv: SparseStage, loc_min, loc_max) -> jnp.ndarray:
+    """Row mask for coords within [loc_min, loc_max) — reference ``spcrop``
+    (``models/basic_blocks.py:174-182``) as a mask instead of data movement."""
+    lo = jnp.asarray(loc_min, jnp.int32)
+    hi = jnp.asarray(loc_max, jnp.int32)
+    inside = jnp.all((sv.coords >= lo) & (sv.coords < hi), axis=-1)
+    return inside & sv.mask
+
+
+class ToDenseBEVConvolution(nn.Module):
+    """Per-z-bin linear kernels + scatter-add to a dense [B, H, W, C] BEV grid.
+
+    Mirrors reference ``models/basic_blocks.py:195-243`` (z_dim=2): each voxel
+    row picks kernel ``coords[z] // stride``; contributions at the same (b, x, y)
+    cell are summed (duplicate-index semantics of the cuSPARSE to_dense).
+    Output is NHWC (the reference's BCHW is a torch convention only).
+    """
+
+    in_channels: int
+    out_channels: int
+    bev_shape: Tuple[int, int]  # (H=x bins, W=y bins)
+    n_kernels: int  # z bins
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, feats, sv: SparseStage, crop_mask: jnp.ndarray, batch_size: int):
+        kernel = self.param(
+            "kernel",
+            torch_uniform(self.in_channels),  # init_weight: U(±1/sqrt(in)), :222-224
+            (self.n_kernels, self.in_channels, self.out_channels),
+        )
+        h, w = self.bev_shape
+        stride = sv.stride
+        zbin = jnp.clip(sv.coords[:, 2] // stride, 0, self.n_kernels - 1)
+        per_row_kernel = jnp.take(kernel, zbin, axis=0)  # [V, Cin, Cout]
+        rows = jnp.einsum(
+            "vc,vcd->vd", feats, per_row_kernel, preferred_element_type=jnp.float32
+        )
+        bx = jnp.clip(sv.coords[:, 0] // stride, 0, h - 1)
+        by = jnp.clip(sv.coords[:, 1] // stride, 0, w - 1)
+        b = jnp.maximum(sv.owner, 0)
+        lin = (b * h + bx) * w + by
+        lin = jnp.where(crop_mask, lin, batch_size * h * w)  # dump cropped rows
+        rows = rows * crop_mask[:, None].astype(rows.dtype)
+        grid = jnp.zeros((batch_size * h * w + 1, self.out_channels), rows.dtype)
+        grid = grid.at[lin].add(rows)
+        bev = grid[:-1].reshape(batch_size, h, w, self.out_channels)
+        if self.use_bias:
+            bev = bev + self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return bev

@@ -1,0 +1,159 @@
+"""Fixed-capacity sparse voxel tensors for TPU.
+
+The reference represents sparse 3D data as torchsparse ``SparseTensor`` COO
+objects with dynamic row counts (reference ``models/basic_blocks.py``,
+``lib/dataset.py:256-261``).  On TPU everything under ``jit`` must be statically
+shaped, so a batched sparse tensor becomes a *pyramid* of ``SparseStage``
+pytrees: flat padded row arrays plus host-precomputed neighbor (kernel) maps.
+
+Per-sample rows live in uniform blocks of ``cap`` rows (sample ``b`` owns rows
+``[b*cap, (b+1)*cap)``), which keeps collation trivial and makes the leading
+dimension divisible by the batch size for data-parallel sharding.
+
+The kernel maps replace torchsparse's CUDA kernel-map hash build
+(reference ``torchsparse spnn.Conv3d``; see SURVEY.md §2.3 N3):
+
+* ``nbr3[V, 27]``  — for each output voxel, the row index (same stage) of the
+  input voxel at each 3x3x3 kernel offset, or -1 if that voxel is empty.
+  Used by stride-1 *submanifold* convolutions (output coords == input coords).
+* ``down[V, 8]``   — for each voxel of this stage, the row index *in the
+  previous stage* of the input voxel at each 2x2x2 kernel offset (stride-2
+  downsampling, matching torchsparse ks=2/stride=2 semantics where output
+  coords are the unique ``floor(c / (2*stride)) * (2*stride)``).
+
+Convolution is then gather -> GEMM -> accumulate, which XLA maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class SparseStage:
+    """One resolution level of a batched sparse voxel tensor.
+
+    Attributes:
+      coords: [V, 3] int32 voxel coordinates in units of the *base* voxel size
+        (i.e. at tensor stride ``stride`` the coords are multiples of it),
+        following the torchsparse convention the reference relies on
+        (``models/basic_blocks.py:226-243`` divides coords by the stride).
+      owner:  [V] int32 owner id of each row (-1 for padding).  For scene
+        tensors this is the batch index; for instance tensors it is the flat
+        candidate id ``b * max_candidates + c``.
+      mask:   [V] bool row validity.
+      nbr3:   [V, 27] int32 same-stage neighbor map for 3^3 submanifold conv
+        (-1 = empty neighbor).  May be a [V, 0] placeholder when unused.
+      down:   [V, 8] int32 previous-stage map for 2^3 stride-2 conv
+        (-1 = empty).  [V, 0] placeholder on the base stage.
+      stride: static python int tensor stride (1, 2, 4, 8, 16).
+    """
+
+    coords: jnp.ndarray
+    owner: jnp.ndarray
+    mask: jnp.ndarray
+    nbr3: jnp.ndarray
+    down: jnp.ndarray
+    stride: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+
+def gather_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of ``feats`` at ``idx``; idx < 0 yields zero rows.
+
+    This is the padded equivalent of torchsparse's kernel-map gather: an empty
+    neighbor contributes zeros to the convolution sum.
+    """
+    safe = jnp.maximum(idx, 0)
+    out = jnp.take(feats, safe, axis=0)
+    return out * (idx >= 0)[..., None].astype(feats.dtype)
+
+
+def gather_conv(
+    feats: jnp.ndarray,
+    nbr: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    im2col_limit: int = 1024,
+    precision=None,
+) -> jnp.ndarray:
+    """Sparse convolution core: sum_k gather(feats, nbr[:, k]) @ kernel[k].
+
+    Equivalent math to torchsparse ``spnn.Conv3d`` (gather-scatter GEMM) but
+    expressed as dense gathers over padded rows so XLA can tile the GEMMs onto
+    the MXU.  Two schedules:
+
+    * im2col: materialize [V, K*Cin] and do one big matmul — best when
+      ``K*Cin`` is small (e.g. the 7-channel stems).
+    * offset loop: K accumulated [V, Cin] @ [Cin, Cout] matmuls — avoids the
+      K-times larger intermediate when Cin is wide.
+
+    Args:
+      feats:  [V_in, Cin] input features (padded rows must be zero or masked
+        by nbr == -1 at every consumer).
+      nbr:    [V_out, K] int32 map into rows of ``feats``.
+      kernel: [K, Cin, Cout] weights.
+    """
+    k, cin, cout = kernel.shape
+    if k * cin <= im2col_limit:
+        gathered = gather_rows(feats, nbr)  # [V, K, Cin]
+        gathered = gathered.reshape(nbr.shape[0], k * cin)
+        return jnp.dot(
+            gathered,
+            kernel.reshape(k * cin, cout),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(i, acc):
+        g = gather_rows(feats, jax.lax.dynamic_index_in_dim(nbr, i, axis=1, keepdims=False))
+        w = jax.lax.dynamic_index_in_dim(kernel, i, axis=0, keepdims=False)
+        return acc + jnp.dot(g, w, precision=precision, preferred_element_type=jnp.float32)
+
+    # Unrolled python loop: K is a small static constant (8 or 27); XLA fuses
+    # each gather into its GEMM without a K-times larger intermediate.
+    acc = jnp.zeros((nbr.shape[0], cout), dtype=jnp.float32)
+    for i in range(k):
+        g = gather_rows(feats, nbr[:, i])
+        acc = acc + jnp.dot(
+            g, kernel[i], precision=precision, preferred_element_type=jnp.float32
+        )
+    return acc
+
+
+def masked_global_max_pool(
+    feats: jnp.ndarray, owner: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Per-owner max over voxel rows; owners with no rows pool to zeros.
+
+    Replaces torchsparse ``spnn.GlobalMaxPooling`` (CUDA segment max; reference
+    ``models/attribute_module.py:20,105``).  ``owner`` is -1 for padding rows.
+    """
+    neg = jnp.finfo(feats.dtype).min
+    valid = owner >= 0
+    safe_owner = jnp.where(valid, owner, num_segments)  # dump padding in an extra bin
+    masked = jnp.where(valid[:, None], feats, neg)
+    pooled = jax.ops.segment_max(
+        masked, safe_owner, num_segments=num_segments + 1, indices_are_sorted=False
+    )[:num_segments]
+    has_rows = jax.ops.segment_sum(
+        valid.astype(jnp.int32), safe_owner, num_segments=num_segments + 1
+    )[:num_segments]
+    return jnp.where((has_rows > 0)[:, None], pooled, 0.0)
+
+
+def masked_mean(feats: jnp.ndarray, mask: jnp.ndarray, axis=0, eps: float = 1e-12):
+    m = mask.astype(feats.dtype)
+    while m.ndim < feats.ndim:
+        m = m[..., None]
+    total = jnp.sum(feats * m, axis=axis)
+    count = jnp.sum(m, axis=axis)
+    return total / jnp.maximum(count, eps)

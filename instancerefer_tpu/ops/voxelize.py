@@ -1,0 +1,305 @@
+"""Host-side voxelization and kernel-map construction (numpy, C++-accelerated).
+
+TPU-native replacement for torchsparse's C++ ``sparse_quantize`` and the CUDA
+kernel-map hash build inside ``spnn.Conv3d`` (reference ``lib/dataset.py:228-261``,
+``models/attribute_module.py:65-69``; SURVEY.md §2.3 N1-N3).  Everything here
+runs in the input pipeline (dataloader workers), producing the static padded
+``SparseStage`` arrays the device step consumes — so the forward pass never
+bounces back to the host the way the reference's does
+(reference ``models/attribute_module.py:99-101``).
+
+Coordinate/key scheme: voxel coords are int32 and may be negative (floor of
+xyz/voxel_size, matching ``sparse_quantize``).  They are packed into int64 keys
+with 14 bits per axis (offset 2^13 ≈ ±8000 voxels ≈ ±160 m at 2 cm) so that
+unique/sort/searchsorted give O(N log N) hash-free lookups.
+
+A C++ implementation of the same routines lives in ``native/voxelizer.cpp``
+(loaded via ctypes when built); the numpy path is the always-available
+reference implementation and is what the unit tests validate against
+brute force.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _load_native():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native",
+        "libirvoxelizer.so",
+    )
+    if not os.path.exists(path) and os.environ.get("IR_TPU_NO_BUILD") != "1":
+        # best-effort one-shot build; numpy fallback on any failure
+        try:
+            from instancerefer_tpu.native.build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.ir_unique_first.restype = ctypes.c_int64
+    lib.ir_unique_first.argtypes = [i32p, ctypes.c_int64, i64p]
+    lib.ir_build_nbr.restype = None
+    lib.ir_build_nbr.argtypes = [i32p, ctypes.c_int64, i32p, ctypes.c_int32,
+                                 ctypes.c_int32, i32p]
+    lib.ir_downsample.restype = ctypes.c_int64
+    lib.ir_downsample.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p]
+    return lib
+
+
+_NATIVE = _load_native()
+
+
+def native_available() -> bool:
+    return _NATIVE is not None
+
+
+_COORD_BITS = 14
+_COORD_OFF = 1 << (_COORD_BITS - 1)
+_COORD_MASK = (1 << _COORD_BITS) - 1
+
+# 3x3x3 kernel offsets in torchsparse's canonical (x-fastest) enumeration order.
+# Order only affects which weight slice learns which offset, not the math.
+KERNEL_OFFSETS_3 = np.array(
+    [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+    dtype=np.int32,
+)
+# 2x2x2 stride-2 offsets: {0, 1} per axis in units of the input stride.
+KERNEL_OFFSETS_2 = np.array(
+    [[dx, dy, dz] for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+    dtype=np.int32,
+)
+
+
+def pack_coords(coords: np.ndarray) -> np.ndarray:
+    """Pack int coords [N, 3] into sortable int64 keys.  Raises on overflow."""
+    c = coords.astype(np.int64) + _COORD_OFF
+    if c.size and (c.min() < 0 or c.max() > _COORD_MASK):
+        # Out-of-range coords (> ±160 m at 2 cm) indicate corrupt input; clip
+        # like the reference's implicit behavior of just hashing whatever came in.
+        c = np.clip(c, 0, _COORD_MASK)
+    return (c[:, 0] << (2 * _COORD_BITS)) | (c[:, 1] << _COORD_BITS) | c[:, 2]
+
+
+def quantize(
+    xyz: np.ndarray, feats: np.ndarray, voxel_size: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """floor-quantize points to voxels, keeping one feature row per voxel.
+
+    Mirrors torchsparse 1.2 ``sparse_quantize(pc, feats, quantization_size)``:
+    integer coords = floor(xyz / voxel_size); duplicates are dropped keeping
+    the first occurrence (reference ``lib/dataset.py:256-261``).
+    """
+    coords = np.ascontiguousarray(np.floor(xyz / voxel_size), dtype=np.int32)
+    if _NATIVE is not None:
+        keep = np.empty(len(coords), np.int64)
+        m = _NATIVE.ir_unique_first(coords, len(coords), keep)
+        first = keep[:m]
+    else:
+        keys = pack_coords(coords)
+        # np.unique(return_index) returns the first occurrence per key.
+        _, first = np.unique(keys, return_index=True)
+        first.sort()
+    return coords[first], feats[first]
+
+
+def _lookup(sorted_keys: np.ndarray, order: np.ndarray, query_keys: np.ndarray) -> np.ndarray:
+    """Row index for each query key, -1 if absent.  sorted_keys = keys[order]."""
+    pos = np.searchsorted(sorted_keys, query_keys)
+    pos_c = np.minimum(pos, len(sorted_keys) - 1) if len(sorted_keys) else pos
+    if len(sorted_keys) == 0:
+        return np.full(query_keys.shape, -1, dtype=np.int32)
+    found = sorted_keys[pos_c] == query_keys
+    idx = order[pos_c].astype(np.int32)
+    return np.where(found, idx, np.int32(-1))
+
+
+def build_nbr3(coords: np.ndarray, stride: int) -> np.ndarray:
+    """Submanifold 3^3 neighbor map: nbr3[i, k] = row of coords + offset_k*stride."""
+    n = len(coords)
+    if n == 0:
+        return np.zeros((0, 27), dtype=np.int32)
+    if _NATIVE is not None:
+        coords = np.ascontiguousarray(coords, dtype=np.int32)
+        out = np.empty((n, 27), dtype=np.int32)
+        _NATIVE.ir_build_nbr(coords, n, KERNEL_OFFSETS_3, 27, stride, out)
+        return out
+    keys = pack_coords(coords)
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    out = np.empty((n, 27), dtype=np.int32)
+    for k, off in enumerate(KERNEL_OFFSETS_3):
+        q = pack_coords(coords + off[None, :] * stride)
+        out[:, k] = _lookup(sorted_keys, order, q)
+    return out
+
+
+def build_downsample(
+    coords: np.ndarray, stride: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stride-2 downsample: output coords + 2^3 kernel map into the input rows.
+
+    torchsparse ks=2/stride=2 semantics: output coordinates are the unique
+    ``floor(c / (2*stride)) * (2*stride)`` and each output gathers the inputs at
+    ``out + {0, stride}^3``.
+    """
+    if len(coords) == 0:
+        return np.zeros((0, 3), dtype=np.int32), np.zeros((0, 8), dtype=np.int32)
+    if _NATIVE is not None:
+        coords = np.ascontiguousarray(coords, dtype=np.int32)
+        out_coords = np.empty((len(coords), 3), np.int32)
+        down = np.empty((len(coords), 8), np.int32)
+        m = _NATIVE.ir_downsample(coords, len(coords), stride, out_coords, down)
+        return out_coords[:m].copy(), down[:m].copy()
+    new_stride = stride * 2
+    down_coords = (coords // new_stride) * new_stride
+    keys = pack_coords(down_coords)
+    _, first = np.unique(keys, return_index=True)
+    first.sort()
+    out_coords = down_coords[first]
+
+    in_keys = pack_coords(coords)
+    order = np.argsort(in_keys, kind="stable")
+    sorted_keys = in_keys[order]
+    down = np.empty((len(out_coords), 8), dtype=np.int32)
+    for k, off in enumerate(KERNEL_OFFSETS_2):
+        q = pack_coords(out_coords + off[None, :] * stride)
+        down[:, k] = _lookup(sorted_keys, order, q)
+    return out_coords, down
+
+
+@dataclasses.dataclass
+class StageArrays:
+    """Unpadded per-sample stage, host-side (numpy, local row indices)."""
+
+    coords: np.ndarray  # [n, 3] int32
+    owner: np.ndarray  # [n] int32
+    nbr3: np.ndarray  # [n, 27] int32 (local)
+    down: np.ndarray  # [n, 8] int32 (local, into previous stage), [n,0] on stage 0
+    stride: int
+
+
+def _truncate_stage(stage: StageArrays, cap: int, prev_cap: Optional[int]) -> StageArrays:
+    """Enforce a row budget; neighbor refs to dropped rows become -1 (empty)."""
+    n = min(len(stage.coords), cap)
+    nbr3 = stage.nbr3[:n]
+    nbr3 = np.where(nbr3 < cap, nbr3, np.int32(-1))
+    down = stage.down[:n]
+    if prev_cap is not None and down.shape[1]:
+        down = np.where(down < prev_cap, down, np.int32(-1))
+    return StageArrays(stage.coords[:n], stage.owner[:n], nbr3, down, stage.stride)
+
+
+def build_pyramid(
+    coords: np.ndarray,
+    owner: np.ndarray,
+    num_stages: int,
+    caps: Optional[Sequence[int]] = None,
+) -> List[StageArrays]:
+    """Build the full conv pyramid for one sample (or one candidate group).
+
+    Stage 0 is the input resolution with a 3^3 submanifold map (for the stem,
+    reference ``models/basic_blocks.py:63-65``); stages 1..num_stages-1 each
+    halve resolution (ks=2 stride=2 downsample conv) and carry a 3^3 map for
+    their residual blocks (reference ``models/basic_blocks.py:67-86``).
+
+    ``owner`` labels rows (batch index or flat candidate id); downsampled
+    stages inherit the owner of any contributing input row.  Rows are assumed
+    to belong to a single owner per call unless callers concatenate afterwards
+    (instance pyramids are built per candidate then concatenated).
+    """
+    stages: List[StageArrays] = []
+    cur_coords, stride = coords.astype(np.int32), 1
+    cur_owner = np.broadcast_to(np.asarray(owner, dtype=np.int32), (len(cur_coords),))
+    for s in range(num_stages):
+        if s == 0:
+            down = np.zeros((len(cur_coords), 0), dtype=np.int32)
+        else:
+            prev = stages[-1]
+            cur_coords, down = build_downsample(prev.coords, prev.stride)
+            stride = prev.stride * 2
+            # owner of an output voxel = owner of its first contributing input
+            src = np.where(down >= 0, down, 0)[:, 0]
+            # find first valid contributor per row
+            first_valid = np.argmax(down >= 0, axis=1)
+            src = down[np.arange(len(down)), first_valid]
+            cur_owner = prev.owner[np.maximum(src, 0)]
+        nbr3 = build_nbr3(cur_coords, stride)
+        stages.append(StageArrays(cur_coords, cur_owner, nbr3, down, stride))
+
+    if caps is not None:
+        out: List[StageArrays] = []
+        for s, stage in enumerate(stages):
+            prev_cap = caps[s - 1] if s > 0 else None
+            out.append(_truncate_stage(stage, caps[s], prev_cap))
+        stages = out
+    return stages
+
+
+def concat_stages(groups: List[List[StageArrays]], num_stages: int) -> List[StageArrays]:
+    """Concatenate per-candidate pyramids into one per-sample pyramid.
+
+    Local neighbor indices are offset by each group's running row count per
+    stage; cross-group neighbors never exist because candidates are distinct
+    sparse tensors (torchsparse ``sparse_collate_tensors`` keeps them separate
+    via the batch coordinate, reference ``models/attribute_module.py:101``).
+    """
+    out: List[StageArrays] = []
+    for s in range(num_stages):
+        coords, owner, nbr3, down = [], [], [], []
+        off = 0
+        prev_off = 0
+        for g in groups:
+            st = g[s]
+            coords.append(st.coords)
+            owner.append(st.owner)
+            nbr3.append(np.where(st.nbr3 >= 0, st.nbr3 + off, st.nbr3))
+            if s > 0:
+                down.append(np.where(st.down >= 0, st.down + prev_off, st.down))
+                prev_off += len(g[s - 1].coords)
+            off += len(st.coords)
+        if not groups:
+            coords = [np.zeros((0, 3), dtype=np.int32)]
+            owner = [np.zeros((0,), dtype=np.int32)]
+            nbr3 = [np.zeros((0, 27), dtype=np.int32)]
+            down = [np.zeros((0, 8), dtype=np.int32)]
+        stride = groups[0][s].stride if groups else (1 << s)
+        out.append(
+            StageArrays(
+                np.concatenate(coords, axis=0),
+                np.concatenate(owner, axis=0),
+                np.concatenate(nbr3, axis=0),
+                np.concatenate(down, axis=0) if s > 0 else np.zeros((sum(len(c) for c in coords), 0), np.int32),
+                stride,
+            )
+        )
+    return out
+
+
+def pad_stage(stage: StageArrays, cap: int, prev_cap: Optional[int]) -> StageArrays:
+    """Pad (or truncate) a per-sample stage to exactly ``cap`` rows."""
+    stage = _truncate_stage(stage, cap, prev_cap)
+    n = len(stage.coords)
+    pad = cap - n
+    if pad == 0:
+        return stage
+    coords = np.concatenate([stage.coords, np.zeros((pad, 3), np.int32)])
+    owner = np.concatenate([stage.owner, np.full((pad,), -1, np.int32)])
+    nbr3 = np.concatenate([stage.nbr3, np.full((pad, 27), -1, np.int32)])
+    down_w = stage.down.shape[1]
+    down = np.concatenate([stage.down, np.full((pad, down_w), -1, np.int32)])
+    return StageArrays(coords, owner, nbr3, down, stage.stride)

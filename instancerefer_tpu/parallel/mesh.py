@@ -1,0 +1,58 @@
+"""Data parallelism over a 1-D device mesh (the distributed backend).
+
+The reference has *no* distributed support of any kind (single CUDA device via
+``CUDA_VISIBLE_DEVICES``, ``scripts/train.py:217``; no torch.distributed/NCCL/
+MPI anywhere — SURVEY.md §2.3).  The TPU-native backend is XLA collectives
+over ICI driven by ``jax.sharding``:
+
+* a 1-D ``data`` mesh over all local+remote devices,
+* every batch array is sharded on its leading dimension (the pipeline
+  guarantees leading dims divisible by the batch size via uniform per-sample
+  voxel blocks),
+* parameters/optimizer state are replicated; the loss mean over the global
+  batch makes XLA insert the gradient ``psum`` automatically under ``jit``,
+* BatchNorm statistics reduce over the global batch inside the same graph, so
+  DP training is semantically identical to the reference's single-device
+  full-batch BN,
+* per-host data loading shards by ``jax.process_index()`` (multi-host DCN).
+
+TP/PP/SP/EP/CP are deliberately out of scope at this model scale (≈10 M
+params, 126-token sequences); the mesh layout leaves room to add axes later.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-dimension sharding for every batch leaf."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
+    """Place a (numpy or jnp) batch pytree onto the mesh, sharded on dim 0."""
+    if mesh is None:
+        return batch
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def host_shard_indices(num_samples: int, *, process_index=None, process_count=None):
+    """Which sample indices this host should load (multi-host data sharding)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return np.arange(pi, num_samples, pc)

@@ -1,0 +1,424 @@
+"""Training solver: jitted DP train/eval steps, schedules, checkpoints, reports.
+
+Mirror of reference ``lib/solver.py`` (Solver) + ``lib/scheduler_helper.py``:
+
+* Adam with torch semantics (L2 weight decay folded into the gradient before
+  the moment updates — ``optim.Adam(weight_decay=...)``, ``scripts/train.py:112``),
+* MultiStepLR epoch schedule (lr x rate at each milestone epoch,
+  ``lib/solver.py:119-126``),
+* BN momentum schedule hook (``lib/scheduler_helper.py``; threaded into every
+  MaskedBatchNorm as a call argument),
+* per-phase wall-clock timers and the same iter/epoch/best report templates
+  (``lib/solver.py:23-60``) — on TPU forward+loss+backward fuse into one jitted
+  step, reported as forward/backward by fraction of the step,
+* best-model selection on val ``iou_rate_0.25`` (``lib/solver.py:324-342``),
+* orbax checkpoints in the reference's three roles: ``model_last`` every epoch,
+  ``model`` on new best, ``checkpoint`` (with optimizer state) at finish,
+* KeyboardInterrupt-safe finish (``lib/solver.py:174-177``).
+
+The whole train step (forward + loss + IoU target assignment + backward +
+eval metrics) runs as ONE jitted program on device — the reference crosses
+host<->device at least five times per iteration (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instancerefer_tpu.parallel.mesh import make_mesh, shard_batch
+from instancerefer_tpu.train.evaluate import get_eval
+from instancerefer_tpu.train.losses import get_loss
+from instancerefer_tpu.utils.eta import decode_eta
+
+ITER_REPORT_TEMPLATE = """
+-------------------------------iter: [{epoch_id}: {iter_id}/{total_iter}]-------------------------------
+[loss] train_loss: {train_loss}
+[loss] train_ref_loss: {train_ref_loss}
+[loss] train_lang_loss: {train_lang_loss}
+[loss] train_seg_loss: {train_seg_loss}
+[loss] train_lang_acc: {train_lang_acc}
+[sco.] train_ref_acc: {train_ref_acc}
+[sco.] train_seg_acc: {train_seg_acc}
+[sco.] train_iou_rate_0.25: {train_iou_rate_25}, train_iou_rate_0.5: {train_iou_rate_5}
+[info] mean_fetch_time: {mean_fetch_time}s
+[info] mean_forward_time: {mean_forward_time}s
+[info] mean_backward_time: {mean_backward_time}s
+[info] mean_eval_time: {mean_eval_time}s
+[info] mean_iter_time: {mean_iter_time}s
+[info] ETA: {eta_h}h {eta_m}m {eta_s}s
+"""
+
+EPOCH_REPORT_TEMPLATE = """
+---------------------------------summary---------------------------------
+[val]   val_loss: {val_loss}
+[val]   val_lang_loss: {val_lang_loss}
+[val]   val_lang_acc: {val_lang_acc}
+[val]   val_seg_acc: {val_seg_acc}
+[val]   val_ref_acc: {val_ref_acc}
+[val]   val_iou_rate_0.25: {val_iou_rate_25}, val_iou_rate_0.5: {val_iou_rate_5}
+"""
+
+BEST_REPORT_TEMPLATE = """
+--------------------------------------best--------------------------------------
+[best] epoch: {epoch}
+[loss] loss: {loss}
+[loss] ref_loss: {ref_loss}
+[loss] lang_loss: {lang_loss}
+[loss] lang_acc: {lang_acc}
+[sco.] ref_acc: {ref_acc}
+[sco.] iou_rate_0.25: {iou_rate_25}, iou_rate_0.5: {iou_rate_5}
+"""
+
+METRIC_KEYS = ("loss", "ref_loss", "lang_loss", "seg_loss", "lang_acc", "ref_acc", "seg_acc")
+
+
+def make_optimizer(lr: float, wd: float, lr_decay_step, lr_decay_rate, steps_per_epoch: int):
+    """torch Adam + MultiStepLR equivalents (config/InstanceRefer.yaml:48-53)."""
+    if lr_decay_step and lr_decay_rate:
+        steps = lr_decay_step if isinstance(lr_decay_step, (list, tuple)) else [lr_decay_step]
+        schedule = optax.piecewise_constant_schedule(
+            lr, {int(e) * steps_per_epoch: float(lr_decay_rate) for e in steps}
+        )
+    else:
+        schedule = lr
+    parts = []
+    if wd:
+        parts.append(optax.add_decayed_weights(wd))
+    parts += [optax.scale_by_adam(), optax.scale_by_learning_rate(schedule)]
+    return optax.chain(*parts)
+
+
+def bn_momentum_for_epoch(epoch: int, bn_decay_step, bn_decay_rate) -> float:
+    """BNMomentumScheduler (lib/scheduler_helper.py + lib/solver.py:128-137):
+    torch-momentum = 1 - lambda(epoch), lambda = max(0.5 * rate^(epoch//step), 0.001).
+
+    torch BN 'momentum' arg is the update weight of the *new* batch statistic;
+    the scheduler sets module.momentum = lmbd(epoch), so we return that value
+    directly for MaskedBatchNorm's ``momentum`` call arg.
+    """
+    if not (bn_decay_step and bn_decay_rate):
+        return 0.1
+    BN_MOMENTUM_INIT, BN_MOMENTUM_MAX = 0.5, 0.001
+    return max(BN_MOMENTUM_INIT * bn_decay_rate ** (epoch // bn_decay_step), BN_MOMENTUM_MAX)
+
+
+class Solver:
+    def __init__(
+        self,
+        model,
+        mean_size_arr: np.ndarray,
+        *,
+        lr: float = 1e-3,
+        wd: float = 1e-5,
+        lr_decay_step=(15, 20),
+        lr_decay_rate: float = 0.1,
+        bn_decay_step=None,
+        bn_decay_rate=None,
+        steps_per_epoch: int = 1000,
+        stamp: str = "run",
+        output_dir: str = "outputs",
+        val_step: int = 2000,
+        use_mesh: bool = True,
+        seed: int = 123,
+    ):
+        self.model = model
+        self.mean_size_arr = jnp.asarray(mean_size_arr)
+        self.tx = make_optimizer(lr, wd, lr_decay_step, lr_decay_rate, steps_per_epoch)
+        self.bn_decay_step = bn_decay_step
+        self.bn_decay_rate = bn_decay_rate
+        self.mesh = make_mesh() if use_mesh else None
+        self.stamp = stamp
+        self.val_step = val_step
+        self.root = os.path.join(output_dir, stamp)
+        os.makedirs(self.root, exist_ok=True)
+        self.log_path = os.path.join(self.root, "log.txt")
+        self.scalars_path = os.path.join(self.root, "scalars.jsonl")
+        self.rng = jax.random.key(seed)
+
+        self.best = {
+            "epoch": 0, "loss": float("inf"), "ref_loss": float("inf"),
+            "lang_loss": float("inf"), "lang_acc": -float("inf"),
+            "ref_acc": -float("inf"), "seg_acc": -float("inf"),
+            "iou_rate_0.25": -float("inf"), "iou_rate_0.5": -float("inf"),
+        }
+        self.state: Optional[Dict[str, Any]] = None
+        self._global_iter_id = 0
+        self._total_iter = {"train": 0, "val": 0}
+        self._train_step = None
+        self._eval_step = None
+        self.init_log()
+
+    # ------------------------------------------------------------------ setup
+    def init_params(self, example_batch):
+        batch = shard_batch(example_batch, self.mesh)
+        self.rng, k1, k2 = jax.random.split(self.rng, 3)
+        # jit the init: eager init compiles each op separately, which is
+        # pathologically slow through a remote-TPU tunnel.
+        init_fn = jax.jit(functools.partial(self.model.init, train=False))
+        variables = init_fn({"params": k1, "dropout": k2}, batch)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": self.tx.init(params),
+            "epoch": 0,
+        }
+        return self.state
+
+    def _build_steps(self):
+        model, tx, mean_size_arr = self.model, self.tx, self.mean_size_arr
+
+        @functools.partial(jax.jit, static_argnames=("bn_momentum",), donate_argnames=("params", "batch_stats", "opt_state"))
+        def train_step(params, batch_stats, opt_state, batch, rng, bn_momentum=0.1):
+            def loss_fn(p):
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch,
+                    train=True,
+                    bn_momentum=bn_momentum,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                out = get_loss(out, mean_size_arr)
+                return out["loss"], (updates["batch_stats"], out)
+
+            (loss, (new_stats, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, upd)
+            out = get_eval(out)
+            metrics = {k: out[k] for k in METRIC_KEYS}
+            metrics["ref_iou"] = out["ref_iou"]
+            return params, new_stats, opt_state, metrics
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, train=False
+            )
+            out = get_loss(out, mean_size_arr)
+            out = get_eval(out)
+            metrics = {k: out[k] for k in METRIC_KEYS}
+            metrics["ref_iou"] = out["ref_iou"]
+            return metrics
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # ------------------------------------------------------------------- loop
+    def __call__(self, dataloader: Dict[str, Iterable], epoch: int, verbose: int):
+        if self._train_step is None:
+            self._build_steps()
+        self.epoch = epoch
+        self.verbose = verbose
+        self._total_iter["train"] = len(dataloader["train"]) * epoch
+        self._total_iter["val"] = len(dataloader["val"]) * self.val_step
+
+        epoch_id = 0
+        for epoch_id in range(epoch):
+            try:
+                self._log(f"epoch {epoch_id + 1} starting...")
+                bn_momentum = bn_momentum_for_epoch(
+                    epoch_id, self.bn_decay_step, self.bn_decay_rate
+                )
+                self._feed(dataloader["train"], "train", epoch_id, bn_momentum)
+                self._log("saving last models...\n")
+                self.save_checkpoint("model_last")
+                self.init_log()
+                self._feed(dataloader["val"], "val", epoch_id)
+                self.state["epoch"] = epoch_id + 1
+            except KeyboardInterrupt:
+                self._finish(epoch_id)
+                return
+        self._finish(epoch_id)
+
+    def _feed(self, loader, phase, epoch_id, bn_momentum: float = 0.1):
+        fetch_start = time.time()
+        for batch in loader:
+            batch = shard_batch(batch, self.mesh)
+            self.log[phase]["fetch"].append(time.time() - fetch_start)
+
+            start = time.time()
+            if phase == "train":
+                self.rng, drop_rng = jax.random.split(self.rng)
+                params, stats, opt_state, metrics = self._train_step(
+                    self.state["params"],
+                    self.state["batch_stats"],
+                    self.state["opt_state"],
+                    batch,
+                    drop_rng,
+                    bn_momentum=bn_momentum,
+                )
+                self.state.update(params=params, batch_stats=stats, opt_state=opt_state)
+            else:
+                metrics = self._eval_step(
+                    self.state["params"], self.state["batch_stats"], batch
+                )
+            metrics = jax.device_get(metrics)
+            step_time = time.time() - start
+            # forward+backward are one fused program on TPU; split the wall
+            # time 1:2 for the report's forward/backward fields.
+            self.log[phase]["forward"].append(step_time / 3 if phase == "train" else step_time)
+            self.log[phase]["backward"].append(2 * step_time / 3 if phase == "train" else 0.0)
+            self.log[phase]["eval"].append(0.0)  # fused into the step
+
+            for k in METRIC_KEYS:
+                self.log[phase][k].append(float(np.mean(metrics[k])))
+            self.log[phase]["ref_iou"] += list(np.asarray(metrics["ref_iou"]).ravel())
+            ious = np.asarray(self.log[phase]["ref_iou"])
+            self.log[phase]["iou_rate_0.25"] = float((ious >= 0.25).mean())
+            self.log[phase]["iou_rate_0.5"] = float((ious >= 0.5).mean())
+
+            if phase == "train":
+                iter_time = self.log[phase]["fetch"][-1] + step_time
+                self.log[phase]["iter_time"].append(iter_time)
+                if (self._global_iter_id + 1) % self.verbose == 0:
+                    self._train_report(epoch_id)
+                    self._dump_log("train")
+                    self.init_log()
+                self._global_iter_id += 1
+            fetch_start = time.time()
+
+        if phase == "val":
+            self._dump_log("val")
+            self._epoch_report(epoch_id)
+            cur = self.log["val"]["iou_rate_0.25"]
+            if cur > self.best["iou_rate_0.25"]:
+                self._log(f"best iou_rate_0.25 achieved: {cur}")
+                for k in ["loss", "ref_loss", "lang_loss", "seg_loss", "lang_acc", "ref_acc", "seg_acc"]:
+                    self.best[k] = float(np.mean(self.log["val"][k])) if self.log["val"][k] else 0.0
+                self.best["epoch"] = epoch_id + 1
+                self.best["iou_rate_0.25"] = self.log["val"]["iou_rate_0.25"]
+                self.best["iou_rate_0.5"] = self.log["val"]["iou_rate_0.5"]
+                self._log("saving best models...\n")
+                self.save_checkpoint("model")
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, name: str, with_opt: bool = False):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.root, name))
+        payload = {
+            "params": self.state["params"],
+            "batch_stats": self.state["batch_stats"],
+        }
+        if with_opt:
+            payload["opt_state"] = self.state["opt_state"]
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, payload, force=True)
+
+    def load_checkpoint(self, path: str, with_opt: bool = False):
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": self.state["params"],
+            "batch_stats": self.state["batch_stats"],
+        }
+        if with_opt:
+            template["opt_state"] = self.state["opt_state"]
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path), template)
+        self.state.update(restored)
+
+    def _finish(self, epoch_id):
+        self._best_report()
+        self._log("saving checkpoint...\n")
+        self.save_checkpoint("checkpoint", with_opt=True)
+        self._log("saving last models...\n")
+        self.save_checkpoint("model_last")
+
+    # ----------------------------------------------------------------- logging
+    def init_log(self):
+        self.log = {
+            phase: {
+                "forward": [], "backward": [], "eval": [], "fetch": [], "iter_time": [],
+                "loss": [], "ref_loss": [], "lang_loss": [], "seg_loss": [],
+                "lang_acc": [], "ref_acc": [], "seg_acc": [], "ref_iou": [],
+                "iou_rate_0.25": 0.0, "iou_rate_0.5": 0.0,
+            }
+            for phase in ["train", "val"]
+        }
+
+    def _log(self, msg: str):
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+        print(msg)
+
+    def _dump_log(self, phase):
+        rec = {"iter": self._global_iter_id, "phase": phase}
+        for key in ["loss", "ref_loss", "lang_loss", "seg_loss", "lang_acc", "ref_acc", "seg_acc"]:
+            vals = self.log[phase][key]
+            rec[key] = float(np.mean(vals)) if vals else 0.0
+        rec["iou_rate_0.25"] = self.log[phase]["iou_rate_0.25"]
+        rec["iou_rate_0.5"] = self.log[phase]["iou_rate_0.5"]
+        with open(self.scalars_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def _train_report(self, epoch_id):
+        log = self.log["train"]
+        mean_train_time = float(np.mean(log["iter_time"]))
+        mean_est_val_time = float(np.mean([f + fw for f, fw in zip(log["fetch"], log["forward"])]))
+        eta_sec = (self._total_iter["train"] - self._global_iter_id - 1) * mean_train_time
+        eta = decode_eta(eta_sec)
+        self._log(
+            ITER_REPORT_TEMPLATE.format(
+                epoch_id=epoch_id + 1,
+                iter_id=self._global_iter_id + 1,
+                total_iter=self._total_iter["train"],
+                train_loss=round(float(np.mean(log["loss"])), 5),
+                train_ref_loss=round(float(np.mean(log["ref_loss"])), 5),
+                train_lang_loss=round(float(np.mean(log["lang_loss"])), 5),
+                train_seg_loss=round(float(np.mean(log["seg_loss"])), 5),
+                train_lang_acc=round(float(np.mean(log["lang_acc"])), 5),
+                train_ref_acc=round(float(np.mean(log["ref_acc"])), 5),
+                train_seg_acc=round(float(np.mean(log["seg_acc"])), 5),
+                train_iou_rate_25=round(log["iou_rate_0.25"], 5),
+                train_iou_rate_5=round(log["iou_rate_0.5"], 5),
+                mean_fetch_time=round(float(np.mean(log["fetch"])), 5),
+                mean_forward_time=round(float(np.mean(log["forward"])), 5),
+                mean_backward_time=round(float(np.mean(log["backward"])), 5),
+                mean_eval_time=round(float(np.mean(log["eval"])), 5),
+                mean_iter_time=round(mean_train_time, 5),
+                eta_h=eta["h"], eta_m=eta["m"], eta_s=eta["s"],
+            )
+        )
+
+    def _epoch_report(self, epoch_id):
+        self._log(f"epoch [{epoch_id + 1}/{self.epoch}] done...")
+        log = self.log["val"]
+        self._log(
+            EPOCH_REPORT_TEMPLATE.format(
+                val_loss=round(float(np.mean(log["loss"])), 5),
+                val_lang_loss=round(float(np.mean(log["lang_loss"])), 5),
+                val_lang_acc=round(float(np.mean(log["lang_acc"])), 5),
+                val_seg_acc=round(float(np.mean(log["seg_acc"])), 5),
+                val_ref_acc=round(float(np.mean(log["ref_acc"])), 5),
+                val_iou_rate_25=round(log["iou_rate_0.25"], 5),
+                val_iou_rate_5=round(log["iou_rate_0.5"], 5),
+            )
+        )
+
+    def _best_report(self):
+        self._log("training completed...")
+        report = BEST_REPORT_TEMPLATE.format(
+            epoch=self.best["epoch"],
+            loss=round(self.best["loss"], 5),
+            ref_loss=round(self.best["ref_loss"], 5),
+            lang_loss=round(self.best["lang_loss"], 5),
+            lang_acc=round(self.best["lang_acc"], 5),
+            ref_acc=round(self.best["ref_acc"], 5),
+            iou_rate_25=round(self.best["iou_rate_0.25"], 5),
+            iou_rate_5=round(self.best["iou_rate_0.5"], 5),
+        )
+        self._log(report)
+        with open(os.path.join(self.root, "best.txt"), "w") as f:
+            f.write(report)

@@ -1,0 +1,164 @@
+"""Evaluation CLI — same surface as the reference's ``scripts/eval.py``.
+
+    python scripts/eval.py --config config/InstanceRefer.yaml --log_dir mylog
+
+Scores the full val split with the checkpointed model, caches per-sample
+scores (``scores.npz`` — the reference pickles ``scores.p``,
+``scripts/eval.py:160-199``) and prints the unique/multiple x others
+Acc@0.25/0.5 table (``:201-334``).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from instancerefer_tpu.config import Config, load_config
+
+
+def resolve_run_dir(cfg: Config) -> str:
+    """Locate the training run directory holding ``model_last``.
+
+    Accepts either the experiment name used at training time (``--log_dir``
+    as in the reference, where the newest timestamped run under its
+    ``checkpoints/`` is picked) or a direct run-directory path.
+    """
+    import glob as _glob
+
+    candidates = []
+    if os.path.isdir(os.path.join(cfg.log_dir, "model_last")):
+        candidates.append(cfg.log_dir)
+    candidates += sorted(
+        _glob.glob(os.path.join(cfg.path_output, "*", "model_last")), reverse=True
+    )
+    candidates += sorted(
+        _glob.glob(
+            os.path.join(cfg.output_root, cfg.dataset, "*", "checkpoints",
+                         cfg.log_dir, "model_last")
+        ),
+        reverse=True,
+    )
+    candidates += sorted(
+        _glob.glob(
+            os.path.join(cfg.output_root, cfg.dataset, "*", "checkpoints", "*",
+                         "model_last")
+        ),
+        reverse=True,
+    )
+    for c in candidates:
+        run = c[: -len("/model_last")] if c.endswith("model_last") else c
+        if os.path.isdir(os.path.join(run, "model_last")):
+            return run
+    raise FileNotFoundError(
+        f"no trained run with model_last found for log_dir={cfg.log_dir!r} "
+        f"under {cfg.path_output!r}"
+    )
+
+
+def eval_ref(cfg: Config):
+    import jax
+
+    from instancerefer_tpu.data.dataset import (
+        PaddedLoader,
+        ScannetReferenceDataset,
+        get_scanrefer,
+    )
+    from instancerefer_tpu.data.pipeline import batch_to_device_dict
+    from instancerefer_tpu.data.scannet_config import ScannetDatasetConfig
+    from instancerefer_tpu.models.instancerefer import InstanceRefer
+    from instancerefer_tpu.train.evaluate import aggregate_scores, get_eval
+    from instancerefer_tpu.train.losses import get_loss
+    from instancerefer_tpu.train.solver import Solver
+
+    root = resolve_run_dir(cfg)
+    stamp = os.path.basename(root)
+    cache_path = os.path.join(root, "scores.npz")
+
+    if not os.path.exists(cache_path):
+        scanrefer_val = get_scanrefer(cfg.data_root, "val", cfg.num_scenes)
+        print(f"evaluating on {len(scanrefer_val)} samples...")
+
+        dc = ScannetDatasetConfig(
+            meta_dir=os.path.join(cfg.data_root, "scannet", "meta_data")
+        )
+        spec = cfg.batch_spec()
+        dataset = ScannetReferenceDataset(
+            scanrefer_val, "val",
+            data_root=cfg.data_root, num_points=cfg.num_points,
+            use_color=cfg.use_color, use_height=cfg.use_height,
+            use_normal=cfg.use_normal, use_multiview=cfg.use_multiview,
+            use_augment=False, seed=cfg.seed, dc=dc,
+        )
+        loader = PaddedLoader(
+            dataset, spec, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers,
+            drop_last=False,
+            voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
+        )
+
+        model = InstanceRefer(
+            input_feature_dim=cfg.input_feature_dim,
+            num_classes=cfg.num_classes,
+            max_candidates=cfg.max_candidates,
+            use_bidir=cfg.use_bidir,
+            k=cfg.k,
+        )
+        solver = Solver(
+            model, dc.mean_size_arr, stamp=stamp, output_dir=cfg.path_output,
+            steps_per_epoch=1,
+        )
+        first = batch_to_device_dict(next(iter(loader)), spec)
+        solver.init_params(first)
+        # the reference loads model_last.pth (scripts/eval.py:54)
+        solver.load_checkpoint(os.path.join(root, "model_last"))
+        mean_size = jax.numpy.asarray(dc.mean_size_arr)
+
+        @jax.jit
+        def step(params, batch_stats, batch):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, train=False
+            )
+            out = get_loss(out, mean_size)  # cluster_label needed by eval (:127)
+            out = get_eval(out)
+            return {
+                "ref_iou": out["ref_iou"],
+                "ref_acc": out["ref_acc"],
+                "multiple": out["ref_multiple_mask"],
+                "others": out["ref_others_mask"],
+                "lang_acc": out["lang_acc"],
+            }
+
+        all_res = {k: [] for k in ["ref_iou", "ref_acc", "multiple", "others"]}
+        lang_accs = []
+        for batch in loader:
+            valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
+            dd = batch_to_device_dict(batch, spec)
+            res = jax.device_get(
+                step(solver.state["params"], solver.state["batch_stats"], dd)
+            )
+            for k in all_res:
+                all_res[k].append(np.asarray(res[k])[valid])
+            lang_accs.append(float(res["lang_acc"]))
+        res = {k: np.concatenate(v) for k, v in all_res.items()}
+        res["lang_acc"] = np.array(lang_accs)
+        np.savez(cache_path, **res)
+    else:
+        print(f"loading cached scores from {cache_path}...")
+        res = dict(np.load(cache_path))
+
+    table = aggregate_scores(res["ref_iou"], res["ref_acc"], res["multiple"], res["others"])
+    print(json.dumps(table, indent=2))
+    print(f"lang_acc: {float(np.mean(res['lang_acc'])):.4f}")
+    overall = table["overall"]
+    print(
+        f"overall: ref_acc={overall['ref_acc']:.4f} "
+        f"acc@0.25={overall['acc@0.25iou']:.4f} acc@0.5={overall['acc@0.5iou']:.4f}"
+    )
+    return table
+
+
+if __name__ == "__main__":
+    cfg = load_config()
+    eval_ref(cfg)

@@ -1,0 +1,167 @@
+"""ScannetReferenceDataset integration over a fake on-disk ScanNet tree."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from instancerefer_tpu.data.dataset import (
+    PaddedLoader,
+    ScannetReferenceDataset,
+    get_scanrefer,
+)
+from instancerefer_tpu.data.pipeline import BatchSpec
+from instancerefer_tpu.data.scannet_config import ScannetDatasetConfig
+
+SPEC = BatchSpec(
+    max_tokens=16, max_instances=8, max_candidates=4,
+    scene_caps=(256, 128, 64, 32, 16), inst_caps=(256, 128, 64, 32, 16),
+)
+
+
+@pytest.fixture
+def fake_data_root(tmp_path, rng):
+    root = tmp_path
+    pg = root / "scannet" / "pointgroup_data"
+    pg.mkdir(parents=True)
+    (root / "scannet" / "meta_data").mkdir(parents=True)
+
+    n = 800
+    scene_id = "scene0000_00"
+    xyz = rng.uniform(0, 4, size=(n, 3))
+    rgb = rng.uniform(0, 255, size=(n, 3))
+    verts = np.concatenate([xyz, rgb], axis=1).astype(np.float32)
+    # 3 instances: two chairs (nyu40 5), one table (nyu40 7), rest background
+    ins = np.zeros(n, np.int64)
+    sem = np.zeros(n, np.int64)
+    ins[0:200] = 1; sem[0:200] = 5
+    ins[200:400] = 2; sem[200:400] = 5
+    ins[400:600] = 3; sem[400:600] = 7
+    boxes = []
+    for i in (1, 2, 3):
+        pc = xyz[ins == i]
+        mn, mx = pc.min(0), pc.max(0)
+        boxes.append(np.concatenate([(mn + mx) / 2, mx - mn, [5 if i < 3 else 7, i - 1]]))
+    boxes = np.stack(boxes)
+
+    np.save(pg / f"{scene_id}_aligned_vert.npy", verts)
+    np.save(pg / f"{scene_id}_ins_label_pg.npy", ins)
+    np.save(pg / f"{scene_id}_sem_label_pg.npy", sem)
+    np.save(pg / f"{scene_id}_aligned_bbox.npy", boxes)
+
+    (root / "scannet" / "meta_data" / "scannetv2-labels.combined.tsv").write_text(
+        "id\traw_category\tcategory\tcount\tnyu40id\teigen13id\tnyuClass\tnyu40class\n"
+        "1\tchair\tchair\t10\t5\t4\tchair\tchair\n"
+        "2\ttable\ttable\t10\t7\t10\ttable\ttable\n"
+    )
+
+    glove = {w: rng.normal(size=300) for w in ["the", "chair", "next", "to", "table", "unk"]}
+    with open(root / "glove.p", "wb") as f:
+        pickle.dump(glove, f)
+
+    scanrefer = [
+        {
+            "scene_id": scene_id,
+            "object_id": "0",
+            "object_name": "chair",
+            "ann_id": "0",
+            "token": ["the", "chair", "next", "to", "the", "table"],
+            "description": "the chair next to the table",
+        },
+        {
+            "scene_id": scene_id,
+            "object_id": "2",
+            "object_name": "table",
+            "ann_id": "0",
+            "token": ["the", "table"],
+            "description": "the table",
+        },
+        {
+            "scene_id": scene_id,
+            "object_id": "1",
+            "object_name": "chair",
+            "ann_id": "1",
+            "token": ["the", "chair"],
+            "description": "the chair",
+        },
+    ]
+    with open(root / "ScanRefer_filtered_val.json", "w") as f:
+        json.dump(scanrefer, f)
+    return str(root), scanrefer
+
+
+def _make_ds(root, scanrefer, split="val"):
+    return ScannetReferenceDataset(
+        scanrefer, split, data_root=root, num_points=500,
+        use_augment=(split == "train"), seed=7,
+    )
+
+
+def test_core_sample_semantics(fake_data_root):
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    core = ds.get_core(0)
+    assert core.object_cat == 2  # chair
+    assert core.lang_len == 6
+    assert core.point_cloud.shape == (500, 7)  # xyz rgb height
+    assert len(core.instance_points) == 3
+    assert sorted(core.instance_class) == [2, 2, 4]  # chair chair table
+    for p in core.instance_points:
+        assert p.shape == (1024, 7)
+    # unique_multiple: two chairs -> multiple (1); one table -> unique (0)
+    assert core.unique_multiple == 1
+    core2 = ds.get_core(1)
+    assert core2.object_cat == 4
+    assert core2.unique_multiple == 0
+    # ref target: chair query marks instance with matching id
+    assert core.ref_target.sum() == 1
+
+
+def test_color_normalization(fake_data_root):
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    core = ds.get_core(0)
+    # (rgb - MEAN)/256 keeps values in about [-0.5, 1)
+    assert np.abs(core.point_cloud[:, 3:6]).max() < 1.0
+
+
+def test_augmentation_changes_geometry_deterministically(fake_data_root):
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer, split="train")
+    rng1 = np.random.default_rng(11)
+    rng2 = np.random.default_rng(11)
+    rng3 = np.random.default_rng(99)
+    a = ds.get_core(0, rng1)
+    b = ds.get_core(0, rng2)
+    c = ds.get_core(0, rng3)
+    np.testing.assert_array_equal(a.point_cloud, b.point_cloud)
+    assert not np.allclose(a.point_cloud, c.point_cloud)
+
+
+def test_padded_loader_batches(fake_data_root):
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    loader = PaddedLoader(ds, SPEC, batch_size=2, shuffle=False, num_workers=0,
+                          drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2  # 3 annotations, batch_size 2, keep remainder
+    b = batches[0]
+    assert b["lang_feat"].shape == (2, 16, 300)
+    assert b["cand_mask"].shape == (2, 4)
+    # chair query: 2 chair candidates; table query: 1 table candidate
+    assert b["cand_mask"][0].sum() == 2
+    assert b["cand_mask"][1].sum() == 1
+    assert b["scene_nbr3_0"].shape == (2 * 256, 27)
+    # instance voxels exist only for the >=2-candidate sample
+    owners0 = b["inst_owner_0"]
+    assert (owners0[: 256] >= 0).any()      # sample 0 block has rows
+    assert (owners0[256:] == -1).all()      # sample 1 block empty
+
+
+def test_get_scanrefer_roundtrip(fake_data_root):
+    root, scanrefer = fake_data_root
+    loaded = get_scanrefer(root, "val")
+    assert len(loaded) == 3
+    assert loaded[0]["scene_id"] == "scene0000_00"

@@ -1,0 +1,90 @@
+"""gather_conv / pooling vs dense-conv brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancerefer_tpu.ops import voxelize as V
+from instancerefer_tpu.ops.sparse import (
+    gather_conv,
+    gather_rows,
+    masked_global_max_pool,
+    masked_mean,
+)
+
+
+def test_gather_rows_zero_fill(rng):
+    feats = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    idx = jnp.array([[0, -1], [4, 2]])
+    out = gather_rows(feats, idx)
+    np.testing.assert_allclose(out[0, 0], feats[0])
+    np.testing.assert_allclose(out[0, 1], np.zeros(3))
+    np.testing.assert_allclose(out[1, 0], feats[4])
+
+
+def dense_subm_conv(coords, feats, kernel):
+    """Brute-force submanifold 3^3 conv on a dict grid."""
+    lut = {tuple(c): i for i, c in enumerate(coords)}
+    out = np.zeros((len(coords), kernel.shape[-1]), np.float32)
+    for i, c in enumerate(coords):
+        for k, off in enumerate(V.KERNEL_OFFSETS_3):
+            j = lut.get(tuple(c + off))
+            if j is not None:
+                out[i] += feats[j] @ kernel[k]
+    return out
+
+
+@pytest.mark.parametrize("cin,cout", [(7, 32), (64, 64)])
+def test_gather_conv_matches_dense(rng, cin, cout):
+    coords = np.unique(rng.integers(0, 6, size=(100, 3)).astype(np.int32), axis=0)
+    feats = rng.normal(size=(len(coords), cin)).astype(np.float32)
+    kernel = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    nbr = V.build_nbr3(coords, stride=1)
+    got = gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel))
+    want = dense_subm_conv(coords, feats, kernel)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_gather_conv_im2col_equals_loop(rng):
+    coords = np.unique(rng.integers(0, 5, size=(60, 3)).astype(np.int32), axis=0)
+    feats = rng.normal(size=(len(coords), 16)).astype(np.float32)
+    kernel = rng.normal(size=(27, 16, 8)).astype(np.float32)
+    nbr = jnp.asarray(V.build_nbr3(coords, stride=1))
+    a = gather_conv(jnp.asarray(feats), nbr, jnp.asarray(kernel), im2col_limit=10_000)
+    b = gather_conv(jnp.asarray(feats), nbr, jnp.asarray(kernel), im2col_limit=0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_downsample_conv_matches_dense(rng):
+    coords = np.unique(rng.integers(0, 8, size=(150, 3)).astype(np.int32), axis=0)
+    feats = rng.normal(size=(len(coords), 8)).astype(np.float32)
+    kernel = rng.normal(size=(8, 8, 4)).astype(np.float32)
+    out_coords, down = V.build_downsample(coords, stride=1)
+    got = gather_conv(jnp.asarray(feats), jnp.asarray(down), jnp.asarray(kernel))
+    lut = {tuple(c): i for i, c in enumerate(coords)}
+    want = np.zeros((len(out_coords), 4), np.float32)
+    for i, oc in enumerate(out_coords):
+        for k, off in enumerate(V.KERNEL_OFFSETS_2):
+            j = lut.get(tuple(oc + off))
+            if j is not None:
+                want[i] += feats[j] @ kernel[k]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_masked_global_max_pool(rng):
+    feats = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
+    owner = jnp.array([0, 0, 2, 2, 2, -1, -1, 1, 1, 0])
+    pooled = masked_global_max_pool(feats, owner, num_segments=4)
+    f = np.asarray(feats)
+    np.testing.assert_allclose(pooled[0], f[[0, 1, 9]].max(0))
+    np.testing.assert_allclose(pooled[1], f[[7, 8]].max(0))
+    np.testing.assert_allclose(pooled[2], f[[2, 3, 4]].max(0))
+    np.testing.assert_allclose(pooled[3], np.zeros(4))  # empty segment -> zeros
+
+
+def test_masked_mean(rng):
+    feats = jnp.asarray(rng.normal(size=(6, 3)).astype(np.float32))
+    mask = jnp.array([1, 1, 0, 1, 0, 0], dtype=bool)
+    got = masked_mean(feats, mask)
+    want = np.asarray(feats)[[0, 1, 3]].mean(0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
