@@ -32,6 +32,10 @@ def main(batch_size: int = 32, iters: int = 20):
     from instancerefer_tpu.train.evaluate import get_eval
     from instancerefer_tpu.train.losses import get_loss
 
+    from instancerefer_tpu.ops.precision import set_compute_dtype
+
+    set_compute_dtype("bfloat16")  # production policy: bf16 GEMMs, f32 accum
+
     spec = BatchSpec()  # production capacities
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
@@ -69,6 +73,13 @@ def main(batch_size: int = 32, iters: int = 20):
         out = get_loss(out, mean_size_j)
         out = get_eval(out)
         return out["ref_iou"], out["ref_acc"], out["loss"]
+
+    # one host->device transfer up front: the metric is device throughput
+    # (training/eval overlap the per-batch feed with compute via prefetching)
+    t0 = time.time()
+    batch = jax.device_put(batch)
+    jax.block_until_ready(jax.tree_util.tree_leaves(batch))
+    print(f"[bench] h2d transfer {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     r = eval_step(variables, batch)

@@ -74,6 +74,9 @@ class Config:
     max_candidates: int = 16
     scene_caps: Sequence[int] = (20480, 8192, 4096, 2048, 1024)
     inst_caps: Sequence[int] = (4096, 2048, 1024, 512, 256)
+    # matmul-input dtype for the hot GEMMs ('bfloat16' = native MXU speed,
+    # f32 accumulation; 'float32' = full precision)
+    compute_dtype: str = "bfloat16"
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from instancerefer_tpu.ops.precision import cast_in
+
 
 @struct.dataclass
 class SparseStage:
@@ -82,7 +84,7 @@ def gather_conv(
     nbr: jnp.ndarray,
     kernel: jnp.ndarray,
     *,
-    im2col_limit: int = 1024,
+    im2col_limit: int = 0,
     precision=None,
 ) -> jnp.ndarray:
     """Sparse convolution core: sum_k gather(feats, nbr[:, k]) @ kernel[k].
@@ -91,10 +93,12 @@ def gather_conv(
     expressed as dense gathers over padded rows so XLA can tile the GEMMs onto
     the MXU.  Two schedules:
 
-    * im2col: materialize [V, K*Cin] and do one big matmul — best when
-      ``K*Cin`` is small (e.g. the 7-channel stems).
-    * offset loop: K accumulated [V, Cin] @ [Cin, Cout] matmuls — avoids the
-      K-times larger intermediate when Cin is wide.
+    * offset loop (default): K accumulated [V, Cin] @ [Cin, Cout] matmuls,
+      measured at full f32 MXU throughput for Cin=128 on v5e.
+    * im2col: materialize [V, K*Cin] and do one big matmul.  AVOID on TPU:
+      the [V, K, Cin] intermediate is lane/sublane padded (Cin -> 128), an
+      ~18x memory blowup for the 7-channel stems — measured as the dominant
+      cost of the whole forward pass before the default was flipped to 0.
 
     Args:
       feats:  [V_in, Cin] input features (padded rows must be zero or masked
@@ -103,6 +107,8 @@ def gather_conv(
       kernel: [K, Cin, Cout] weights.
     """
     k, cin, cout = kernel.shape
+    feats = cast_in(feats)
+    kernel = cast_in(kernel)
     if k * cin <= im2col_limit:
         gathered = gather_rows(feats, nbr)  # [V, K, Cin]
         gathered = gathered.reshape(nbr.shape[0], k * cin)
@@ -112,11 +118,6 @@ def gather_conv(
             precision=precision,
             preferred_element_type=jnp.float32,
         )
-
-    def body(i, acc):
-        g = gather_rows(feats, jax.lax.dynamic_index_in_dim(nbr, i, axis=1, keepdims=False))
-        w = jax.lax.dynamic_index_in_dim(kernel, i, axis=0, keepdims=False)
-        return acc + jnp.dot(g, w, precision=precision, preferred_element_type=jnp.float32)
 
     # Unrolled python loop: K is a small static constant (8 or 27); XLA fuses
     # each gather into its GEMM without a K-times larger intermediate.

@@ -44,9 +44,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
-    """Place a (numpy or jnp) batch pytree onto the mesh, sharded on dim 0."""
+    """Place a (numpy or jnp) batch pytree onto the mesh, sharded on dim 0.
+
+    Without a mesh the batch is still device_put (asynchronously) so that
+    prefetching overlaps host->device transfer with compute.
+    """
     if mesh is None:
-        return batch
+        return jax.device_put(batch)
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 

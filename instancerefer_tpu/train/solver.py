@@ -241,10 +241,27 @@ class Solver:
                 return
         self._finish(epoch_id)
 
+    def _device_prefetch(self, loader, size: int = 2):
+        """Transfer batches to device ahead of consumption: ``device_put`` is
+        asynchronous, so batch k+1's host->device copy overlaps step k's
+        compute (the reference's fetch time is serial, lib/solver.py:239)."""
+        import collections
+
+        queue = collections.deque()
+        it = iter(loader)
+        while True:
+            while len(queue) < size:
+                try:
+                    queue.append(shard_batch(next(it), self.mesh))
+                except StopIteration:
+                    break
+            if not queue:
+                return
+            yield queue.popleft()
+
     def _feed(self, loader, phase, epoch_id, bn_momentum: float = 0.1):
         fetch_start = time.time()
-        for batch in loader:
-            batch = shard_batch(batch, self.mesh)
+        for batch in self._device_prefetch(loader):
             self.log[phase]["fetch"].append(time.time() - fetch_start)
 
             start = time.time()
@@ -315,6 +332,55 @@ class Solver:
             payload["opt_state"] = self.state["opt_state"]
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, payload, force=True)
+
+    def load_pretrained_modules(self, path: str, modules=("lang", "attribute", "relation", "scene")):
+        """Partial warm-start: copy only the named top-level submodules'
+        parameters from a checkpoint (reference ``use_pretrained``,
+        ``scripts/train.py:83-96``, which copies the four model submodules)."""
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": self.state["params"],
+            "batch_stats": self.state["batch_stats"],
+        }
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path), template)
+        for coll in ("params", "batch_stats"):
+            current = dict(self.state[coll])
+            for m in modules:
+                if m in restored[coll]:
+                    current[m] = restored[coll][m]
+            self.state[coll] = current
+
+    def profile_steps(self, loader, out_dir: str, num_steps: int = 3):
+        """Capture a jax.profiler device trace over a few training steps
+        (TPU-native upgrade of the reference's wall-clock phase timers,
+        SURVEY.md §5)."""
+        if self._train_step is None:
+            self._build_steps()
+        it = iter(self._device_prefetch(loader))
+        first = next(it)
+        # warmup/compile outside the trace
+        self.rng, r = jax.random.split(self.rng)
+        out = self._train_step(
+            self.state["params"], self.state["batch_stats"],
+            self.state["opt_state"], first, r,
+        )
+        self.state.update(params=out[0], batch_stats=out[1], opt_state=out[2])
+        with jax.profiler.trace(out_dir):
+            for _ in range(num_steps):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                self.rng, r = jax.random.split(self.rng)
+                out = self._train_step(
+                    self.state["params"], self.state["batch_stats"],
+                    self.state["opt_state"], batch, r,
+                )
+                self.state.update(params=out[0], batch_stats=out[1], opt_state=out[2])
+            jax.block_until_ready(out[3])
+        self._log(f"profiler trace written to {out_dir}")
 
     def load_checkpoint(self, path: str, with_opt: bool = False):
         import orbax.checkpoint as ocp

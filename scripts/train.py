@@ -43,6 +43,10 @@ def init_experiment(cfg: Config, stamp: str):
 def train(cfg: Config):
     import jax
 
+    from instancerefer_tpu.ops.precision import set_compute_dtype
+
+    set_compute_dtype(cfg.compute_dtype)
+
     from instancerefer_tpu.data.dataset import (
         PaddedLoader,
         ScannetReferenceDataset,
@@ -137,6 +141,12 @@ def train(cfg: Config):
     elif cfg.pretrain:
         print(f"loading pretrained model {cfg.pretrain}...")
         solver.load_checkpoint(cfg.pretrain)
+    elif cfg.use_pretrained:
+        # partial warm-start of the four submodules (scripts/train.py:83-96)
+        path = cfg.use_pretrained if isinstance(cfg.use_pretrained, str) else ""
+        if path:
+            print(f"warm-starting submodules from {path}...")
+            solver.load_pretrained_modules(os.path.join(path, "model_last"))
 
     # info.json (scripts/train.py:143-155)
     info = {k: v for k, v in vars(cfg).items() if isinstance(v, (str, int, float, bool, list))}
