@@ -91,7 +91,7 @@ def main(batch_size: int = 32, iters: int = 20):
     t0 = time.time()
     for _ in range(iters):
         r = eval_step(variables, batch)
-    jax.block_until_ready(r)
+    np.asarray(r[0])  # full fetch: block_until_ready is unreliable on this backend
     dt = time.time() - t0
     scenes_per_sec = batch_size * iters / dt
     print(
@@ -99,6 +99,47 @@ def main(batch_size: int = 32, iters: int = 20):
         f"-> {scenes_per_sec:.1f} scenes/s",
         file=sys.stderr,
     )
+
+    # secondary: full training-step (fwd + loss + bwd + adam) throughput
+    try:
+        import optax
+
+        from instancerefer_tpu.train.losses import get_loss
+
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(variables["params"])
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch):
+            def loss_fn(p):
+                out, upd = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch,
+                    train=True, rngs={"dropout": jax.random.key(0)},
+                    mutable=["batch_stats"],
+                )
+                out = get_loss(out, mean_size_j)
+                return out["loss"], upd["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, stats, opt_state2, loss
+
+        t0 = time.time()
+        p, s, o, l = train_step(
+            variables["params"], variables["batch_stats"], opt_state, batch
+        )
+        np.asarray(l)
+        print(f"[bench] train-step compile {time.time() - t0:.1f}s", file=sys.stderr)
+        n_train = max(iters // 2, 3)
+        t0 = time.time()
+        for _ in range(n_train):
+            p, s, o, l = train_step(p, s, o, batch)
+        np.asarray(l)
+        tps = batch_size * n_train / (time.time() - t0)
+        print(f"[bench] train throughput: {tps:.1f} scenes/s", file=sys.stderr)
+    except Exception as e:  # secondary metric must never break the bench
+        print(f"[bench] train-step bench skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -163,7 +163,15 @@ class ScannetReferenceDataset:
             )
         return np.array(self._multiview[scene_id])
 
-    def get_core(self, idx: int, rng: Optional[np.random.Generator] = None) -> CoreSample:
+    def get_core(
+        self,
+        idx: int,
+        rng: Optional[np.random.Generator] = None,
+        class_override: Optional[int] = None,
+    ) -> CoreSample:
+        """Build one sample; ``class_override`` substitutes the candidate
+        filter class (use_gt_lang=False second pass) while labels keep the GT
+        ``object_cat``."""
         rng = rng or np.random.default_rng(self.seed + idx)
         entry = self.scanrefer[idx]
         scene_id = entry["scene_id"]
@@ -284,6 +292,7 @@ class ScannetReferenceDataset:
             ann_id=ann_id,
             scan_idx=idx,
             ref_target=np.array(ref_target, np.int32),
+            filter_class=class_override,
         )
 
 
@@ -321,6 +330,7 @@ class PaddedLoader:
         drop_last: bool = True,
         voxel_size_ap: float = 0.02,
         voxel_size_glp: float = 0.05,
+        class_overrides: Optional[Dict[int, int]] = None,
     ):
         self.dataset = dataset
         self.spec = spec
@@ -331,6 +341,8 @@ class PaddedLoader:
         self.drop_last = drop_last
         self.voxel_size_ap = voxel_size_ap
         self.voxel_size_glp = voxel_size_glp
+        # sample idx -> predicted class for the use_gt_lang=False second pass
+        self.class_overrides = class_overrides
         self.epoch = 0
 
     def __len__(self):
@@ -340,7 +352,8 @@ class PaddedLoader:
     def _build_one(self, args):
         idx, sample_seed = args
         rng = np.random.default_rng(sample_seed)
-        core = self.dataset.get_core(idx, rng)
+        override = self.class_overrides.get(idx) if self.class_overrides else None
+        core = self.dataset.get_core(idx, rng, class_override=override)
         return pad_sample(
             core, self.spec, self.voxel_size_ap, self.voxel_size_glp
         )

@@ -85,6 +85,10 @@ class CoreSample:
     ann_id: int
     scan_idx: int
     ref_target: Optional[np.ndarray] = None  # [Ki] 0/1 (gt instance marker)
+    # candidate-filter class; defaults to object_cat (use_gt_lang=True).  The
+    # use_gt_lang=False eval path overrides it with the language classifier's
+    # prediction (two-pass eval; models/attribute_module.py:93-97 semantics).
+    filter_class: Optional[int] = None
 
 
 def pad_sample(
@@ -124,8 +128,10 @@ def pad_sample(
     out["instance_obbs"] = inst_obbs
     out["instance_node_feat"] = node_feat
 
-    # ---- candidates: instances whose class == GT object class
-    cand_idx = [i for i in range(k) if inst_class[i] == core.object_cat][:cmax]
+    # ---- candidates: instances whose class == filter class (GT object class
+    # under use_gt_lang=True; the language prediction otherwise)
+    fclass = core.object_cat if core.filter_class is None else core.filter_class
+    cand_idx = [i for i in range(k) if inst_class[i] == fclass][:cmax]
     num_cand = len(cand_idx)
     cand_mask = np.zeros(cmax, bool)
     cand_mask[:num_cand] = True

@@ -1,0 +1,148 @@
+"""Pallas TPU kernel: windowed gather-GEMM sparse convolution.
+
+Why: XLA lowers a row-gather from an HBM-resident [V, C] table to one
+(8,128)-tile fetch (~4 KB) per row, so a 27-offset submanifold conv pays
+27 x 4 KB of HBM traffic per output row — measured as the dominant cost of
+the whole forward pass (~123 ms for one 262k x 64-channel conv at batch 32).
+
+This kernel exploits spatial locality instead: the host raster-sorts voxels
+(``ops/voxelize.quantize(raster_order=True)``), so all neighbors of a
+contiguous chunk of output rows live in a bounded window of input rows.  Per
+chunk, ONE contiguous window DMA (full HBM bandwidth) brings the working set
+into VMEM; the per-offset gathers become VMEM-local ``jnp.take`` (VPU sublane
+gathers) feeding MXU GEMM accumulation.  Windows are double-buffered: chunk
+i+1's DMA overlaps chunk i's compute.
+
+Host contract (``ops/voxelize.compute_window_starts``): for chunk i, valid
+``nbr`` entries lie in [window_start[i], window_start[i] + window).  Entries
+outside (possible only for pathological geometry or capacity-overflow
+truncation) are treated as empty neighbors — the same policy as the padded
+XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(
+    ws_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
+    *, chunk, window, k_offsets, out_dtype,
+):
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    def dma(slot, chunk_idx):
+        # window starts are host-aligned to 16 rows (compute_window_starts);
+        # the hint lets Mosaic prove the sublane-tile alignment of the slice
+        start = pl.multiple_of(ws_ref[chunk_idx], 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window), :],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_chunks)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    w = win[i % 2]  # [window, C]
+    ws = ws_ref[i]
+
+    cout = w_ref.shape[-1]
+    acc = jnp.zeros((chunk, cout), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
+    for k in range(k_offsets):
+        g_idx = nbr_ref[:, k]
+        local = g_idx - ws
+        valid = (g_idx >= 0) & (local >= 0) & (local < window)
+        safe = jnp.where(valid, local, -1)
+        # The gather is a one-hot matmul: Mosaic's native dynamic_gather is
+        # limited to one vreg of sublanes, but the MXU eats a
+        # [chunk, window] @ [window, C] contraction for breakfast — and the
+        # one-hot never leaves VMEM/VREGs.  Invalid rows get all-zero one-hots.
+        oh = (col == safe[:, None]).astype(w.dtype)
+        rows = jnp.dot(oh, w, preferred_element_type=jnp.float32)  # [chunk, C]
+        acc = acc + jnp.dot(
+            rows.astype(w.dtype), w_ref[k], preferred_element_type=jnp.float32
+        )
+    out_ref[:] = acc.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "chunk", "out_dtype", "interpret")
+)
+def windowed_gather_conv(
+    feats: jnp.ndarray,
+    nbr: jnp.ndarray,
+    kernel: jnp.ndarray,
+    window_start: jnp.ndarray,
+    *,
+    window: int,
+    chunk: int = 1024,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """sum_k gather(feats, nbr[:, k]) @ kernel[k], windowed.
+
+    Args:
+      feats:  [V_in, C] voxel features (bf16 or f32; raster-sorted rows).
+      nbr:    [V_out, K] int32 global row indices into feats, -1 = empty.
+      kernel: [K, C, Cout] weights (resident in VMEM).
+      window_start: [V_out // chunk] int32 host-computed window origins,
+        each in [0, V_in - window].
+      window: static window length (rows).
+    """
+    v_out, k = nbr.shape
+    assert v_out % chunk == 0, (v_out, chunk)
+    n_chunks = v_out // chunk
+
+    # HBM DMA slices must be 128-lane aligned: pad channels to 128 multiples
+    # (zero lanes are free wrt the one-hot matmul's result).
+    cin = feats.shape[-1]
+    cin_pad = -(-cin // 128) * 128
+    cout = kernel.shape[-1]
+    cout_pad = -(-cout // 128) * 128
+    if cin_pad != cin:
+        feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, cin_pad - cin), (0, 0)))
+    if cout_pad != cout:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cout_pad - cout)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, k), lambda i, ws: (i, 0)),  # nbr, per chunk
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, fully resident
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay off-chip
+        ],
+        out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, cin_pad), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    fn = pl.pallas_call(
+        functools.partial(
+            _conv_kernel, chunk=chunk, window=window, k_offsets=k,
+            out_dtype=out_dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct((v_out, cout_pad), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    out = fn(window_start, nbr, kernel, feats)
+    return out[:, :cout] if cout_pad != cout else out

@@ -85,6 +85,29 @@ KERNEL_OFFSETS_2 = np.array(
 )
 
 
+def _part1by2(v: np.ndarray) -> np.ndarray:
+    """Spread 14-bit ints so bits land every 3rd position (Morton helper)."""
+    v = v.astype(np.uint64) & np.uint64(0x3FFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x249249249249)
+    return v
+
+
+def morton_key(coords: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) key of int coords — the spatial sort used for the
+    windowed Pallas conv: interleaved bits give far tighter neighbor-index
+    locality than raster order, so window sizes stay small."""
+    c = coords.astype(np.int64) + _COORD_OFF
+    c = np.clip(c, 0, _COORD_MASK).astype(np.uint64)
+    return (
+        (_part1by2(c[:, 0]) << np.uint64(2))
+        | (_part1by2(c[:, 1]) << np.uint64(1))
+        | _part1by2(c[:, 2])
+    ).astype(np.int64)
+
+
 def pack_coords(coords: np.ndarray) -> np.ndarray:
     """Pack int coords [N, 3] into sortable int64 keys.  Raises on overflow."""
     c = coords.astype(np.int64) + _COORD_OFF
@@ -96,13 +119,21 @@ def pack_coords(coords: np.ndarray) -> np.ndarray:
 
 
 def quantize(
-    xyz: np.ndarray, feats: np.ndarray, voxel_size: float
+    xyz: np.ndarray, feats: np.ndarray, voxel_size: float, raster_order: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     """floor-quantize points to voxels, keeping one feature row per voxel.
 
     Mirrors torchsparse 1.2 ``sparse_quantize(pc, feats, quantization_size)``:
     integer coords = floor(xyz / voxel_size); duplicates are dropped keeping
     the first occurrence (reference ``lib/dataset.py:256-261``).
+
+    ``raster_order=True`` emits rows sorted by the packed x-major raster key
+    instead of first-occurrence order.  Row order is semantically invisible
+    (all consumers go through kernel maps / owner ids), but the spatial sort
+    gives the neighbor-index locality the windowed Pallas conv kernel relies
+    on.  (Raster measured strictly better than Morton/tiled orders here:
+    neighbor-index span is bounded by the surface's per-slab occupancy, and
+    z-curve discontinuities on sparse surfaces blow past it.)
     """
     coords = np.ascontiguousarray(np.floor(xyz / voxel_size), dtype=np.int32)
     if _NATIVE is not None:
@@ -114,7 +145,30 @@ def quantize(
         # np.unique(return_index) returns the first occurrence per key.
         _, first = np.unique(keys, return_index=True)
         first.sort()
+    if raster_order:
+        first = first[np.argsort(pack_coords(coords[first]), kind="stable")]
     return coords[first], feats[first]
+
+
+def compute_window_starts(
+    nbr: np.ndarray, chunk: int, window: int, v_in: int, align: int = 16
+) -> np.ndarray:
+    """Window origin per output chunk for the Pallas windowed conv.
+
+    start[i] = clamp(align_down(min valid nbr of chunk i), 0, v_in - window).
+    Starts are aligned down to ``align`` rows (bf16 VMEM slices need 16-row
+    sublane alignment).  Neighbors beyond start+window (only possible when a
+    chunk's index span exceeds the window, i.e. degenerate geometry or
+    capacity overflow) degrade to empty in the kernel.
+    """
+    v_out = len(nbr)
+    n = v_out // chunk
+    blk = nbr[: n * chunk].reshape(n, chunk * nbr.shape[1])
+    masked = np.where(blk >= 0, blk, np.iinfo(np.int32).max)
+    lo = masked.min(axis=1)
+    lo = np.where(lo == np.iinfo(np.int32).max, 0, lo)
+    lo = (lo // align) * align
+    return np.clip(lo, 0, max(v_in - window, 0)).astype(np.int32)
 
 
 def _lookup(sorted_keys: np.ndarray, order: np.ndarray, query_keys: np.ndarray) -> np.ndarray:
@@ -209,6 +263,7 @@ def build_pyramid(
     owner: np.ndarray,
     num_stages: int,
     caps: Optional[Sequence[int]] = None,
+    raster: bool = False,
 ) -> List[StageArrays]:
     """Build the full conv pyramid for one sample (or one candidate group).
 
@@ -232,9 +287,14 @@ def build_pyramid(
             prev = stages[-1]
             cur_coords, down = build_downsample(prev.coords, prev.stride)
             stride = prev.stride * 2
+            if raster:
+                # coordinate-wise floor does NOT preserve the spatial order,
+                # so re-sort every stage (the windowed Pallas conv relies on
+                # bounded neighbor spans over raster-sorted rows)
+                perm = np.argsort(pack_coords(cur_coords), kind="stable")
+                cur_coords = cur_coords[perm]
+                down = down[perm]
             # owner of an output voxel = owner of its first contributing input
-            src = np.where(down >= 0, down, 0)[:, 0]
-            # find first valid contributor per row
             first_valid = np.argmax(down >= 0, axis=1)
             src = down[np.arange(len(down)), first_valid]
             cur_owner = prev.owner[np.maximum(src, 0)]

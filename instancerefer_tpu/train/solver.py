@@ -144,6 +144,18 @@ class Solver:
         self.scalars_path = os.path.join(self.root, "scalars.jsonl")
         self.rng = jax.random.key(seed)
 
+        # tensorboard writers (reference lib/solver.py:96-102); optional dep
+        self._log_writer = {}
+        try:
+            from tensorboardX import SummaryWriter
+
+            for phase in ("train", "val"):
+                d = os.path.join(self.root, "tensorboard", phase)
+                os.makedirs(d, exist_ok=True)
+                self._log_writer[phase] = SummaryWriter(d)
+        except Exception:
+            pass
+
         self.best = {
             "epoch": 0, "loss": float("inf"), "ref_loss": float("inf"),
             "lang_loss": float("inf"), "lang_acc": -float("inf"),
@@ -401,6 +413,15 @@ class Solver:
         self.save_checkpoint("checkpoint", with_opt=True)
         self._log("saving last models...\n")
         self.save_checkpoint("model_last")
+        # tensorboard json export (lib/solver.py:389-391)
+        for phase, w in self._log_writer.items():
+            try:
+                w.export_scalars_to_json(
+                    os.path.join(self.root, "tensorboard", phase, "all_scalars.json")
+                )
+                w.close()
+            except Exception:
+                pass
 
     # ----------------------------------------------------------------- logging
     def init_log(self):
@@ -428,6 +449,15 @@ class Solver:
         rec["iou_rate_0.5"] = self.log[phase]["iou_rate_0.5"]
         with open(self.scalars_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if phase in self._log_writer:
+            w = self._log_writer[phase]
+            groups = {"loss": ["loss", "ref_loss", "lang_loss", "seg_loss"],
+                      "score": ["lang_acc", "ref_acc", "seg_acc"]}
+            for g, keys in groups.items():
+                for k in keys:
+                    w.add_scalar(f"{g}/{k}", rec[k], self._global_iter_id)
+            w.add_scalar("score/iou_rate_0.25", rec["iou_rate_0.25"], self._global_iter_id)
+            w.add_scalar("score/iou_rate_0.5", rec["iou_rate_0.5"], self._global_iter_id)
 
     def _train_report(self, epoch_id):
         log = self.log["train"]

@@ -115,6 +115,40 @@ def eval_ref(cfg: Config):
         solver.load_checkpoint(os.path.join(root, "model_last"))
         mean_size = jax.numpy.asarray(dc.mean_size_arr)
 
+        if not cfg.use_gt_lang:
+            # Two-pass eval: the reference filters candidates by
+            # argmax(lang_scores) when use_gt_lang is False
+            # (models/attribute_module.py:93-97).  Candidates live in the
+            # input pipeline here, so pass 1 runs just the language branch to
+            # predict classes, and pass 2 rebuilds the loader filtered by them.
+            from instancerefer_tpu.models.lang_module import LangModule
+
+            lang = LangModule(num_text_classes=cfg.num_classes,
+                              use_bidir=cfg.use_bidir)
+            lang_params = solver.state["params"]["lang"]
+
+            @jax.jit
+            def lang_step(params, batch):
+                out = lang.apply({"params": params}, batch, train=False)
+                return jax.numpy.argmax(out["lang_scores"], axis=1)
+
+            overrides = {}
+            for batch in loader:
+                valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
+                dd = batch_to_device_dict(batch, spec)
+                pred = np.asarray(jax.device_get(lang_step(lang_params, dd)))
+                idxs = np.asarray(batch["scan_idx"])
+                for i, p, v in zip(idxs, pred, valid):
+                    if v:
+                        overrides[int(i)] = int(p)
+            print(f"pass 1 done: predicted classes for {len(overrides)} samples")
+            loader = PaddedLoader(
+                dataset, spec, cfg.batch_size, shuffle=False,
+                num_workers=cfg.num_workers, drop_last=False,
+                voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
+                class_overrides=overrides,
+            )
+
         @jax.jit
         def step(params, batch_stats, batch):
             out = model.apply(

@@ -160,6 +160,23 @@ def test_padded_loader_batches(fake_data_root):
     assert (owners0[256:] == -1).all()      # sample 1 block empty
 
 
+def test_class_override_changes_candidates(fake_data_root):
+    """use_gt_lang=False second pass: candidates follow the predicted class
+    while labels keep GT object_cat."""
+    from instancerefer_tpu.data.pipeline import pad_sample
+
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    # query 0 targets a chair (class 2); override filter to table (class 4)
+    core = ds.get_core(0, class_override=4)
+    assert core.object_cat == 2  # GT label untouched
+    padded = pad_sample(core, SPEC)
+    assert padded["object_cat"] == 2
+    assert padded["cand_mask"].sum() == 1  # one table instance
+    slot = padded["cand_slot"][0]
+    assert padded["instance_class"][slot] == 4
+
+
 def test_get_scanrefer_roundtrip(fake_data_root):
     root, scanrefer = fake_data_root
     loaded = get_scanrefer(root, "val")

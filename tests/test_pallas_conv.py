@@ -1,0 +1,76 @@
+"""Windowed Pallas sparse conv vs the XLA gather-GEMM reference (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancerefer_tpu.ops import voxelize as V
+from instancerefer_tpu.ops.pallas_conv import windowed_gather_conv
+from instancerefer_tpu.ops.sparse import gather_conv
+
+
+def _build_case(rng, n_samples=2, cap=512):
+    nbrs = []
+    for b in range(n_samples):
+        pts = rng.uniform(0, 3, size=(3000, 3))
+        coords, _ = V.quantize(pts, pts.astype(np.float32), 0.05, raster_order=True)
+        pyr = V.build_pyramid(coords, owner=0, num_stages=2, caps=[4096, cap], raster=True)
+        st = V.pad_stage(pyr[1], cap, 4096)
+        nbrs.append(np.where(st.nbr3 >= 0, st.nbr3 + b * cap, -1))
+    return np.concatenate(nbrs)
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 64), (7, 32)])
+def test_windowed_conv_matches_xla(rng, cin, cout):
+    nbr = _build_case(rng)
+    v = len(nbr)
+    feats = rng.normal(size=(v, cin)).astype(np.float32)
+    kernel = (rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32)
+    chunk, window = 128, 512
+    ws = V.compute_window_starts(nbr, chunk, window, v)
+    # verify full coverage on this small case
+    for i in range(len(ws)):
+        blk = nbr[i * chunk : (i + 1) * chunk]
+        valid = blk[blk >= 0]
+        if len(valid):
+            assert valid.max() - ws[i] < window
+
+    ref = np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel)))
+    got = np.asarray(
+        windowed_gather_conv(
+            jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel),
+            jnp.asarray(ws), window=window, chunk=chunk, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_out_of_window_neighbors_degrade_to_empty(rng):
+    """Neighbors outside [ws, ws+window) count as empty, like nbr == -1."""
+    v, chunk, window = 256, 128, 128
+    nbr = np.full((v, 27), -1, np.int32)
+    nbr[:, 13] = np.arange(v)  # identity
+    nbr[0, 0] = v - 1  # far neighbor, outside window of chunk 0
+    feats = rng.normal(size=(v, 8)).astype(np.float32)
+    kernel = (rng.normal(size=(27, 8, 8)) * 0.1).astype(np.float32)
+    ws = V.compute_window_starts(nbr, chunk, window, v)
+    got = np.asarray(
+        windowed_gather_conv(
+            jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel),
+            jnp.asarray(ws), window=window, chunk=chunk, interpret=True,
+        )
+    )
+    nbr_clean = nbr.copy()
+    nbr_clean[0, 0] = -1
+    ref = np.asarray(
+        gather_conv(jnp.asarray(feats), jnp.asarray(nbr_clean), jnp.asarray(kernel))
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_window_starts_alignment(rng):
+    nbr = _build_case(rng)
+    ws = V.compute_window_starts(nbr, 128, 512, len(nbr))
+    assert (ws % 16 == 0).all()
+    assert (ws >= 0).all()
+    assert (ws <= len(nbr) - 512).all()
