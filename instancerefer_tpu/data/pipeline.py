@@ -160,6 +160,10 @@ def pad_sample(
         if inst_feat_rows
         else np.zeros((0, spec.feat_dim), np.float32)
     )
+    n_inst_rows = len(merged[0].coords)
+    out["inst_overflow"] = np.float32(
+        max(0, n_inst_rows - spec.inst_caps[0]) / max(n_inst_rows, 1)
+    )
     out.update(
         _pack_pyramid(merged, inst_feats, spec.inst_caps, prefix="inst", feat_dim=spec.feat_dim)
     )
@@ -167,6 +171,9 @@ def pad_sample(
     # ---- scene voxel pyramid at voxel_size_glp (lib/dataset.py:256-261)
     coords, feats = V.quantize(
         core.point_cloud[:, :3], core.point_cloud[:, : spec.feat_dim], voxel_size_glp
+    )
+    out["scene_overflow"] = np.float32(
+        max(0, len(coords) - spec.scene_caps[0]) / max(len(coords), 1)
     )
     scene_pyr = V.build_pyramid(coords, owner=0, num_stages=spec.num_stages)
     out.update(

@@ -42,7 +42,11 @@ def make_core_sample(
     scene_extent: float = 4.0,
     scan_idx: int = 0,
     mean_size_arr: np.ndarray | None = None,
+    target_rule: str = "first",
 ) -> CoreSample:
+    """``target_rule``: 'first' (arbitrary target — chance-level task) or
+    'largest' (the referred object is always the biggest same-class instance —
+    a signal the attribute encoder can learn, used by convergence checks)."""
     target_class = int(rng.integers(0, 18)) if target_class is None else target_class
 
     # room background
@@ -56,7 +60,13 @@ def make_core_sample(
         cls = target_class if i < num_candidates else int(rng.integers(0, 18))
         center = rng.uniform(0.5, scene_extent - 0.5, size=3)
         center[2] = rng.uniform(0.2, 1.5)
-        size = rng.uniform(0.2, 0.9, size=3)
+        if target_rule == "largest" and i < num_candidates:
+            # candidate 0 is clearly the largest; the rest are small
+            size = (
+                rng.uniform(0.8, 1.0, size=3) if i == 0 else rng.uniform(0.2, 0.35, size=3)
+            )
+        else:
+            size = rng.uniform(0.2, 0.9, size=3)
         pts = center + (rng.uniform(-0.5, 0.5, size=(points_per_instance, 3))) * size
         feats = np.concatenate(
             [pts, rng.uniform(-0.5, 0.5, size=(points_per_instance, 3))], axis=1
@@ -119,6 +129,7 @@ def make_batch(
     num_instances: int = 6,
     num_candidates: int = 3,
     mean_size_arr: np.ndarray | None = None,
+    target_rule: str = "first",
 ) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     samples = []
@@ -130,6 +141,7 @@ def make_batch(
             num_candidates=num_candidates,
             scan_idx=b,
             mean_size_arr=mean_size_arr,
+            target_rule=target_rule,
         )
         samples.append(pad_sample(core, spec))
     return collate(samples, spec)

@@ -273,8 +273,19 @@ class Solver:
 
     def _feed(self, loader, phase, epoch_id, bn_momentum: float = 0.1):
         fetch_start = time.time()
+        overflow_checked = False
         for batch in self._device_prefetch(loader):
             self.log[phase]["fetch"].append(time.time() - fetch_start)
+            if not overflow_checked and "scene_overflow" in batch:
+                overflow_checked = True  # first batch only (fetch costs a sync)
+                so = float(np.mean(np.asarray(batch["scene_overflow"])))
+                io_ = float(np.mean(np.asarray(batch["inst_overflow"])))
+                if so > 0.01 or io_ > 0.01:
+                    self._log(
+                        f"WARNING: voxel capacity overflow (scene {so:.1%}, "
+                        f"instance {io_:.1%}) — raise scene_caps/inst_caps in the "
+                        f"TPU config section to avoid dropped voxels"
+                    )
 
             start = time.time()
             if phase == "train":
