@@ -36,7 +36,8 @@ def main(batch_size: int = 32, iters: int = 20):
 
     set_compute_dtype("bfloat16")  # production policy: bf16 GEMMs, f32 accum
 
-    spec = BatchSpec()  # production capacities
+    # production capacities + the banded Pallas submanifold conv (eval path)
+    spec = BatchSpec(pallas_conv=True)
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     t0 = time.time()

@@ -41,6 +41,12 @@ class BatchSpec:
     inst_caps: Sequence[int] = (4096, 2048, 1024, 512, 256)
     num_classes: int = 18
     feat_dim: int = 7  # xyz + rgb + height (train.py:74-75 channel arithmetic)
+    # banded Pallas submanifold conv (eval path): requires raster-sorted
+    # voxels; window params per ops/pallas_conv.windowed_gather_conv
+    pallas_conv: bool = False
+    pallas_chunk: int = 512
+    pallas_window: int = 2048
+    pallas_subwin: int = 1024
 
     def scaled(self, factor: float) -> "BatchSpec":
         """Shrink capacities (e.g. for tests) keeping structure."""
@@ -151,8 +157,16 @@ def pad_sample(
     if num_cand >= 2:
         for local_c, i in enumerate(cand_idx):
             pts = core.instance_points[i]
-            coords, feats = V.quantize(pts[:, :3], pts[:, : spec.feat_dim], voxel_size_ap)
-            groups.append(V.build_pyramid(coords, owner=local_c, num_stages=spec.num_stages))
+            coords, feats = V.quantize(
+                pts[:, :3], pts[:, : spec.feat_dim], voxel_size_ap,
+                raster_order=spec.pallas_conv,
+            )
+            groups.append(
+                V.build_pyramid(
+                    coords, owner=local_c, num_stages=spec.num_stages,
+                    raster=spec.pallas_conv,
+                )
+            )
             inst_feat_rows.append(feats.astype(np.float32))
     merged = V.concat_stages(groups, spec.num_stages)
     inst_feats = (
@@ -170,12 +184,15 @@ def pad_sample(
 
     # ---- scene voxel pyramid at voxel_size_glp (lib/dataset.py:256-261)
     coords, feats = V.quantize(
-        core.point_cloud[:, :3], core.point_cloud[:, : spec.feat_dim], voxel_size_glp
+        core.point_cloud[:, :3], core.point_cloud[:, : spec.feat_dim], voxel_size_glp,
+        raster_order=spec.pallas_conv,
     )
     out["scene_overflow"] = np.float32(
         max(0, len(coords) - spec.scene_caps[0]) / max(len(coords), 1)
     )
-    scene_pyr = V.build_pyramid(coords, owner=0, num_stages=spec.num_stages)
+    scene_pyr = V.build_pyramid(
+        coords, owner=0, num_stages=spec.num_stages, raster=spec.pallas_conv
+    )
     out.update(
         _pack_pyramid(
             scene_pyr, feats.astype(np.float32), spec.scene_caps, prefix="scene",
@@ -281,6 +298,8 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
     }
 
     def pyramid(prefix):
+        from instancerefer_tpu.ops.voxelize import compute_offset_window_starts
+
         stages = []
         for s in range(spec.num_stages):
             nbr3 = batch[f"{prefix}_nbr3_{s}"]
@@ -290,6 +309,17 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                 else np.zeros((nbr3.shape[0], 0), np.int32)
             )
             owner = batch[f"{prefix}_owner_{s}"]
+            ws3 = wsk3 = None
+            v = nbr3.shape[0]
+            if (
+                spec.pallas_conv
+                and v % spec.pallas_chunk == 0
+                and v >= spec.pallas_window
+            ):
+                ws3, wsk3 = compute_offset_window_starts(
+                    nbr3, spec.pallas_chunk, spec.pallas_window,
+                    spec.pallas_subwin, v,
+                )
             stages.append(
                 SparseStage(
                     coords=batch[f"{prefix}_coords_{s}"],
@@ -298,6 +328,11 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     nbr3=nbr3,
                     down=down,
                     stride=1 << s,
+                    ws3=ws3,
+                    wsk3=wsk3,
+                    pallas_chunk=spec.pallas_chunk if ws3 is not None else 0,
+                    pallas_window=spec.pallas_window if ws3 is not None else 0,
+                    pallas_subwin=spec.pallas_subwin if ws3 is not None else 0,
                 )
             )
         return tuple(stages)

@@ -108,16 +108,34 @@ def _conv_init(k: int, cin: int):
 
 
 class SubMConv3(nn.Module):
-    """3^3 stride-1 submanifold sparse conv (output coords == input coords)."""
+    """3^3 stride-1 submanifold sparse conv (output coords == input coords).
+
+    When the batch carries banded-window metadata (``sv.ws3``) and
+    ``use_pallas`` is set (eval path only — the Pallas kernel has no VJP),
+    the conv runs through the windowed Pallas kernel
+    (ops/pallas_conv.windowed_gather_conv); otherwise XLA gather-GEMM.
+    """
 
     features: int
     use_bias: bool = False  # spnn.Conv3d has no bias by default
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, sv: SparseStage) -> jnp.ndarray:
+    def __call__(
+        self, feats: jnp.ndarray, sv: SparseStage, use_pallas: bool = False
+    ) -> jnp.ndarray:
         cin = feats.shape[-1]
         kernel = self.param("kernel", _conv_init(27, cin), (27, cin, self.features))
-        out = gather_conv(feats, sv.nbr3, kernel)
+        if use_pallas and sv.ws3 is not None:
+            from instancerefer_tpu.ops.pallas_conv import windowed_gather_conv
+            from instancerefer_tpu.ops.precision import cast_in
+
+            out = windowed_gather_conv(
+                cast_in(feats), sv.nbr3, cast_in(kernel), sv.ws3, sv.wsk3,
+                window=sv.pallas_window, chunk=sv.pallas_chunk,
+                subwin=sv.pallas_subwin,
+            )
+        else:
+            out = gather_conv(feats, sv.nbr3, kernel)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros, (self.features,))
         return out
@@ -144,7 +162,8 @@ class BasicConvolutionBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
         if self.ks == 3:
-            x = SubMConv3(self.features, name="conv")(feats, sv)
+            # the banded Pallas path has no VJP: eval only
+            x = SubMConv3(self.features, name="conv")(feats, sv, use_pallas=not train)
         elif self.ks == 2:
             x = DownConv2(self.features, name="conv")(feats, sv)
         else:
@@ -164,10 +183,10 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
-        x = SubMConv3(self.features, name="conv1")(feats, sv)
+        x = SubMConv3(self.features, name="conv1")(feats, sv, use_pallas=not train)
         x = MaskedBatchNorm(self.features, name="bn1")(x, sv.mask, train=train, momentum=bn_momentum)
         x = nn.relu(x)
-        x = SubMConv3(self.features, name="conv2")(x, sv)
+        x = SubMConv3(self.features, name="conv2")(x, sv, use_pallas=not train)
         x = MaskedBatchNorm(self.features, name="bn2")(x, sv.mask, train=train, momentum=bn_momentum)
         return nn.relu(x + feats)
 

@@ -32,8 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(
-    ws_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
-    *, chunk, window, k_offsets, out_dtype,
+    ws_ref, wsk_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
+    *, chunk, window, subwin, k_offsets, out_dtype,
 ):
     i = pl.program_id(0)
     n_chunks = pl.num_programs(0)
@@ -57,40 +57,51 @@ def _conv_kernel(
         dma((i + 1) % 2, i + 1).start()
 
     dma(i % 2, i).wait()
-    w = win[i % 2]  # [window, C]
+    slot = i % 2
     ws = ws_ref[i]
 
     cout = w_ref.shape[-1]
     acc = jnp.zeros((chunk, cout), jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
+    dtype = win.dtype
     for k in range(k_offsets):
+        # Per-offset sub-window: each offset's neighbor indices over a
+        # raster-sorted chunk are nearly monotone, so they fit a band of
+        # ~chunk + halo rows.  The host clamps wsk into
+        # [ws, ws + window - subwin] and aligns it to 16.
+        base = wsk_ref[i, k]
+        off = pl.multiple_of(base - ws, 16)
+        sub = win[slot, pl.ds(off, subwin), :]  # [subwin, C] ref read
         g_idx = nbr_ref[:, k]
-        local = g_idx - ws
-        valid = (g_idx >= 0) & (local >= 0) & (local < window)
+        local = g_idx - base
+        valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
         safe = jnp.where(valid, local, -1)
         # The gather is a one-hot matmul: Mosaic's native dynamic_gather is
         # limited to one vreg of sublanes, but the MXU eats a
-        # [chunk, window] @ [window, C] contraction for breakfast — and the
+        # [chunk, subwin] @ [subwin, C] contraction for breakfast — and the
         # one-hot never leaves VMEM/VREGs.  Invalid rows get all-zero one-hots.
-        oh = (col == safe[:, None]).astype(w.dtype)
-        rows = jnp.dot(oh, w, preferred_element_type=jnp.float32)  # [chunk, C]
+        oh = (col == safe[:, None]).astype(dtype)
+        rows = jnp.dot(oh, sub, preferred_element_type=jnp.float32)  # [chunk, C]
         acc = acc + jnp.dot(
-            rows.astype(w.dtype), w_ref[k], preferred_element_type=jnp.float32
+            rows.astype(dtype), w_ref[k], preferred_element_type=jnp.float32
         )
     out_ref[:] = acc.astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "chunk", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("window", "chunk", "subwin", "out_dtype", "interpret"),
 )
 def windowed_gather_conv(
     feats: jnp.ndarray,
     nbr: jnp.ndarray,
     kernel: jnp.ndarray,
     window_start: jnp.ndarray,
+    offset_window_start: jnp.ndarray = None,
     *,
     window: int,
     chunk: int = 1024,
+    subwin: int = None,
     out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -101,12 +112,20 @@ def windowed_gather_conv(
       nbr:    [V_out, K] int32 global row indices into feats, -1 = empty.
       kernel: [K, C, Cout] weights (resident in VMEM).
       window_start: [V_out // chunk] int32 host-computed window origins,
-        each in [0, V_in - window].
-      window: static window length (rows).
+        each in [0, V_in - window], 16-aligned.
+      offset_window_start: [V_out // chunk, K] int32 per-offset sub-window
+        origins, each in [ws, ws + window - subwin], 16-aligned.  Defaults to
+        broadcasting window_start with subwin = window.
+      window: static window length (rows) — the per-chunk DMA size.
+      subwin: static per-offset one-hot width (the banded-gather optimization).
     """
     v_out, k = nbr.shape
     assert v_out % chunk == 0, (v_out, chunk)
     n_chunks = v_out // chunk
+    if subwin is None:
+        subwin = window
+    if offset_window_start is None:
+        offset_window_start = jnp.broadcast_to(window_start[:, None], (n_chunks, k))
 
     # HBM DMA slices must be 128-lane aligned: pad channels to 128 multiples
     # (zero lanes are free wrt the one-hot matmul's result).
@@ -121,14 +140,14 @@ def windowed_gather_conv(
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cout_pad - cout)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # window_start, offset_window_start
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((chunk, k), lambda i, ws: (i, 0)),  # nbr, per chunk
+            pl.BlockSpec((chunk, k), lambda i, ws, wsk: (i, 0)),  # nbr
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, fully resident
             pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay off-chip
         ],
-        out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws: (i, 0)),
+        out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws, wsk: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window, cin_pad), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -137,12 +156,12 @@ def windowed_gather_conv(
 
     fn = pl.pallas_call(
         functools.partial(
-            _conv_kernel, chunk=chunk, window=window, k_offsets=k,
-            out_dtype=out_dtype,
+            _conv_kernel, chunk=chunk, window=window, subwin=subwin,
+            k_offsets=k, out_dtype=out_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((v_out, cout_pad), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )
-    out = fn(window_start, nbr, kernel, feats)
+    out = fn(window_start, offset_window_start, nbr, kernel, feats)
     return out[:, :cout] if cout_pad != cout else out

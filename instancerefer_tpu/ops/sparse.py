@@ -54,6 +54,9 @@ class SparseStage:
       down:   [V, 8] int32 previous-stage map for 2^3 stride-2 conv
         (-1 = empty).  [V, 0] placeholder on the base stage.
       stride: static python int tensor stride (1, 2, 4, 8, 16).
+      ws3/wsk3: optional window origins ([n_chunks] / [n_chunks, 27]) for the
+        banded Pallas submanifold conv (ops/pallas_conv); None selects the
+        XLA gather-GEMM path.
     """
 
     coords: jnp.ndarray
@@ -62,6 +65,13 @@ class SparseStage:
     nbr3: jnp.ndarray
     down: jnp.ndarray
     stride: int = struct.field(pytree_node=False, default=1)
+    ws3: Optional[jnp.ndarray] = None
+    wsk3: Optional[jnp.ndarray] = None
+    # static banded-conv geometry (must match what the pipeline used when
+    # computing ws3/wsk3); 0 = unset
+    pallas_chunk: int = struct.field(pytree_node=False, default=0)
+    pallas_window: int = struct.field(pytree_node=False, default=0)
+    pallas_subwin: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:

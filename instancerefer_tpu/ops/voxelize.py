@@ -171,6 +171,30 @@ def compute_window_starts(
     return np.clip(lo, 0, max(v_in - window, 0)).astype(np.int32)
 
 
+def compute_offset_window_starts(
+    nbr: np.ndarray, chunk: int, window: int, subwin: int, v_in: int, align: int = 16
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(window_start [n], offset_window_start [n, K]) for the banded conv.
+
+    Per-offset neighbor indices over raster-sorted chunks are nearly monotone,
+    so each offset k fits a sub-window of ``subwin`` rows starting at its own
+    (aligned) minimum; sub-windows are clamped inside the chunk's global
+    window.  ``window`` and ``subwin`` must be multiples of ``align``.
+    """
+    v_out, k = nbr.shape
+    n = v_out // chunk
+    big = np.iinfo(np.int32).max
+    blk = nbr[: n * chunk].reshape(n, chunk, k)
+    masked = np.where(blk >= 0, blk, big)
+    lo_k = masked.min(axis=1)  # [n, K]
+    lo_k = np.where(lo_k == big, 0, lo_k)
+    lo = (lo_k.min(axis=1) // align) * align
+    ws = np.clip(lo, 0, max(v_in - window, 0)).astype(np.int32)
+    wsk = (lo_k // align) * align
+    wsk = np.clip(wsk, ws[:, None], (ws + window - subwin)[:, None]).astype(np.int32)
+    return ws, wsk
+
+
 def _lookup(sorted_keys: np.ndarray, order: np.ndarray, query_keys: np.ndarray) -> np.ndarray:
     """Row index for each query key, -1 if absent.  sorted_keys = keys[order]."""
     pos = np.searchsorted(sorted_keys, query_keys)

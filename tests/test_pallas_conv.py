@@ -68,6 +68,35 @@ def test_out_of_window_neighbors_degrade_to_empty(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_banded_subwindows_match_xla(rng):
+    """Per-offset sub-window (banded) variant must match the full-window one."""
+    nbr = _build_case(rng)
+    v = len(nbr)
+    feats = rng.normal(size=(v, 32)).astype(np.float32)
+    kernel = (rng.normal(size=(27, 32, 32)) * 0.1).astype(np.float32)
+    chunk, window, subwin = 128, 512, 256
+    ws, wsk = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    assert (wsk % 16 == 0).all()
+    assert (wsk >= ws[:, None]).all()
+    assert (wsk <= (ws + window - subwin)[:, None]).all()
+    # full coverage of every offset's band on this small case
+    n = v // chunk
+    blk = np.where(nbr[: n * chunk] >= 0, nbr[: n * chunk], -(2**30)).reshape(n, chunk, 27)
+    hi_k = blk.max(axis=1)
+    covered = (hi_k < wsk + subwin) | (hi_k < 0)
+    assert covered.all()
+
+    ref = np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel)))
+    got = np.asarray(
+        windowed_gather_conv(
+            jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel),
+            jnp.asarray(ws), jnp.asarray(wsk),
+            window=window, chunk=chunk, subwin=subwin, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_window_starts_alignment(rng):
     nbr = _build_case(rng)
     ws = V.compute_window_starts(nbr, 128, 512, len(nbr))
