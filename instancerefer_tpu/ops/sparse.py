@@ -140,6 +140,57 @@ def gather_conv(
     return acc
 
 
+@jax.custom_vjp
+def _subm_conv_core(feats, nbr, kernel):
+    return gather_conv(feats, nbr, kernel)
+
+
+def _subm_conv_fwd(feats, nbr, kernel):
+    return gather_conv(feats, nbr, kernel), (feats, nbr, kernel)
+
+
+def _subm_conv_bwd(res, g):
+    """Exact scatter-free backward for the symmetric submanifold conv.
+
+    XLA autodiffs the forward gathers into scatter-adds, which are several
+    times slower than gathers on TPU (measured 569 ms for one 262k x 64 conv's
+    backward).  For a 3^3 *submanifold* map the transpose is itself a gather:
+    offsets come in +/- pairs (KERNEL_OFFSETS_3[26-k] == -KERNEL_OFFSETS_3[k])
+    and output coords == input coords, so nbr(i,k) = j  <=>  nbr(j, 26-k) = i.
+    Hence dX[j] = sum_k g[nbr(j,k)] W_{26-k}^T — a gather_conv over the SAME
+    map with mirror-transposed kernels — and dW[k] = gathered_x_k^T @ g
+    (gathers recomputed — cheaper than saving them).
+    """
+    feats, nbr, kernel = res
+    g32 = g.astype(jnp.float32)
+    gc = cast_in(g32)
+    w_t = jnp.transpose(cast_in(kernel)[::-1], (0, 2, 1))  # w_t[k] = W[26-k]^T
+    dx = gather_conv(gc, nbr, w_t).astype(feats.dtype)
+    k = nbr.shape[1]
+    xc = cast_in(feats)
+    dws = []
+    for i in range(k):
+        xk = gather_rows(xc, nbr[:, i])
+        dws.append(
+            jnp.einsum("vc,vd->cd", xk, gc, preferred_element_type=jnp.float32)
+        )
+    dw = jnp.stack(dws).astype(kernel.dtype)
+    return dx, None, dw
+
+
+_subm_conv_core.defvjp(_subm_conv_fwd, _subm_conv_bwd)
+
+
+def subm_gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, kernel: jnp.ndarray):
+    """3^3 submanifold conv with the fast mirrored-gather backward.
+
+    Requires a symmetric-offset same-coordinate map (``nbr3`` of a
+    SparseStage).  Down-sampling maps are NOT symmetric — use ``gather_conv``
+    (plain autodiff) for those.
+    """
+    return _subm_conv_core(feats, nbr, kernel)
+
+
 def masked_global_max_pool(
     feats: jnp.ndarray, owner: jnp.ndarray, num_segments: int
 ) -> jnp.ndarray:

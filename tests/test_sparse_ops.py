@@ -71,6 +71,29 @@ def test_downsample_conv_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+def test_subm_conv_custom_vjp_matches_autodiff(rng):
+    """The mirrored-gather backward must equal XLA's scatter-based autodiff."""
+    import jax
+
+    from instancerefer_tpu.ops.sparse import subm_gather_conv
+
+    coords = np.unique(rng.integers(0, 6, size=(120, 3)).astype(np.int32), axis=0)
+    nbr = jnp.asarray(V.build_nbr3(coords, 1))
+    x = jnp.asarray(rng.normal(size=(len(coords), 16)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(27, 16, 8)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(len(coords), 8)).astype(np.float32))
+
+    ref = jax.grad(lambda x, w: jnp.vdot(gather_conv(x, nbr, w), g), argnums=(0, 1))(x, w)
+    got = jax.grad(lambda x, w: jnp.vdot(subm_gather_conv(x, nbr, w), g), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-5, atol=1e-5)
+    # forward identical too
+    np.testing.assert_allclose(
+        np.asarray(subm_gather_conv(x, nbr, w)), np.asarray(gather_conv(x, nbr, w)),
+        rtol=1e-6,
+    )
+
+
 def test_masked_global_max_pool(rng):
     feats = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
     owner = jnp.array([0, 0, 2, 2, 2, -1, -1, 1, 1, 0])
