@@ -87,8 +87,9 @@ def aggregate_scores(ious, ref_acc, multiple, others):
 
     def cell(mask):
         if mask.sum() == 0:
-            return {"ref_acc": float("nan"), "acc@0.25iou": float("nan"),
-                    "acc@0.5iou": float("nan"), "count": 0}
+            # the reference reports 0 for empty cells (scripts/eval.py:235)
+            return {"ref_acc": 0.0, "acc@0.25iou": 0.0, "acc@0.5iou": 0.0,
+                    "count": 0}
         return {
             "ref_acc": float(ref_acc[mask].mean()),
             "acc@0.25iou": float((ious[mask] >= 0.25).mean()),
@@ -96,13 +97,12 @@ def aggregate_scores(ious, ref_acc, multiple, others):
             "count": int(mask.sum()),
         }
 
+    # the reference's full {unique, multiple, overall} x
+    # {not_in_others, in_others, overall} table (scripts/eval.py:201-334)
     all_mask = np.ones_like(multiple)
+    rows = {"unique": ~multiple, "multiple": multiple, "overall": all_mask}
+    cols = {"not_in_others": ~others, "in_others": others, "overall": all_mask}
     return {
-        "unique": cell(~multiple),
-        "multiple": cell(multiple),
-        "unique_wo_others": cell(~multiple & ~others),
-        "multiple_wo_others": cell(multiple & ~others),
-        "others": cell(others),
-        "overall": cell(all_mask),
-        "overall_wo_others": cell(~others),
+        rk: {ck: cell(rm & cm) for ck, cm in cols.items()}
+        for rk, rm in rows.items()
     }

@@ -185,7 +185,7 @@ def eval_ref(cfg: Config):
     table = aggregate_scores(res["ref_iou"], res["ref_acc"], res["multiple"], res["others"])
     print(json.dumps(table, indent=2))
     print(f"lang_acc: {float(np.mean(res['lang_acc'])):.4f}")
-    overall = table["overall"]
+    overall = table["overall"]["overall"]
     print(
         f"overall: ref_acc={overall['ref_acc']:.4f} "
         f"acc@0.25={overall['acc@0.25iou']:.4f} acc@0.5={overall['acc@0.5iou']:.4f}"

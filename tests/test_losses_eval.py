@@ -134,6 +134,31 @@ def test_eval_candidate_rules(rng):
     assert acc[2] == 1.0  # pred == target
 
 
+def test_aggregate_scores_table(rng):
+    """The unique/multiple x others aggregation table (scripts/eval.py:201-334)."""
+    from instancerefer_tpu.train.evaluate import aggregate_scores
+
+    ious = np.array([0.6, 0.1, 0.3, 0.9])
+    acc = np.array([1.0, 0.0, 1.0, 1.0])
+    multiple = np.array([0, 1, 1, 0])
+    others = np.array([0, 0, 1, 1])
+    t = aggregate_scores(ious, acc, multiple, others)
+    assert set(t) == {"unique", "multiple", "overall"}
+    assert set(t["unique"]) == {"not_in_others", "in_others", "overall"}
+    # overall/overall over all 4 samples
+    oo = t["overall"]["overall"]
+    assert oo["count"] == 4
+    np.testing.assert_allclose(oo["acc@0.25iou"], 3 / 4)
+    np.testing.assert_allclose(oo["acc@0.5iou"], 2 / 4)
+    np.testing.assert_allclose(oo["ref_acc"], 3 / 4)
+    # unique x not_in_others = sample 0 only
+    u = t["unique"]["not_in_others"]
+    assert u["count"] == 1 and u["acc@0.5iou"] == 1.0
+    # empty cells report 0 like the reference
+    t2 = aggregate_scores(ious[:1], acc[:1], np.array([0]), np.array([0]))
+    assert t2["multiple"]["overall"]["ref_acc"] == 0.0
+
+
 def test_get_loss_skip_rules(rng):
     """<2 candidates and max-IoU<0.2 samples contribute zero ref loss."""
     from instancerefer_tpu.train.losses import get_loss
