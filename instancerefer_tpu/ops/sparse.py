@@ -168,20 +168,13 @@ def _subm_conv_bwd(res, g):
     dx = gather_conv(gc, nbr, w_t).astype(feats.dtype)
     k = nbr.shape[1]
     xc = cast_in(feats)
-
-    # dW as a fori_loop: one compiled body instead of K unrolled
-    # gather+einsum pairs — dW is a tiny [C, Cout] contraction per offset, so
-    # the loop costs nothing at runtime but cuts compile time of the whole
-    # train step substantially (dozens of convs x 27 offsets otherwise).
-    def body(i, dw):
-        idx = jax.lax.dynamic_index_in_dim(nbr, i, axis=1, keepdims=False)
-        xk = gather_rows(xc, idx)
-        contrib = jnp.einsum("vc,vd->cd", xk, gc, preferred_element_type=jnp.float32)
-        return jax.lax.dynamic_update_index_in_dim(dw, contrib, i, axis=0)
-
-    dw = jax.lax.fori_loop(
-        0, k, body, jnp.zeros((k,) + kernel.shape[1:], jnp.float32)
-    ).astype(kernel.dtype)
+    dws = []
+    for i in range(k):
+        xk = gather_rows(xc, nbr[:, i])
+        dws.append(
+            jnp.einsum("vc,vd->cd", xk, gc, preferred_element_type=jnp.float32)
+        )
+    dw = jnp.stack(dws).astype(kernel.dtype)
     return dx, None, dw
 
 
