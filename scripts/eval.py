@@ -162,9 +162,17 @@ def eval_ref(cfg: Config):
                 "multiple": out["ref_multiple_mask"],
                 "others": out["ref_others_mask"],
                 "lang_acc": out["lang_acc"],
+                # predicted/GT boxes (the reference also pickles predictions.p,
+                # scripts/eval.py:160-187)
+                "pred_bboxes": out["pred_bboxes"],
+                "gt_bboxes": out["gt_bboxes"],
             }
 
-        all_res = {k: [] for k in ["ref_iou", "ref_acc", "multiple", "others"]}
+        all_res = {
+            k: []
+            for k in ["ref_iou", "ref_acc", "multiple", "others",
+                      "pred_bboxes", "gt_bboxes"]
+        }
         lang_accs = []
         for batch in loader:
             valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
