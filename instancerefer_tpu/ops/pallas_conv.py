@@ -35,6 +35,9 @@ def _conv_kernel(
     ws_ref, wsk_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
     *, chunk, window, subwin, k_offsets, out_dtype,
 ):
+    # ws_ref: scalar-prefetched [n_chunks] (drives the window DMA);
+    # wsk_ref: VMEM-blocked [1, K] per-offset band starts (SMEM lane-pads the
+    # K axis to 128, which overflows SMEM for small chunks on big stages).
     i = pl.program_id(0)
     n_chunks = pl.num_programs(0)
 
@@ -69,7 +72,7 @@ def _conv_kernel(
         # raster-sorted chunk are nearly monotone, so they fit a band of
         # ~chunk + halo rows.  The host clamps wsk into
         # [ws, ws + window - subwin] and aligns it to 16.
-        base = wsk_ref[i, k]
+        base = wsk_ref[i % 8, k]
         off = pl.multiple_of(base - ws, 16)
         sub = win[slot, pl.ds(off, subwin), :]  # [subwin, C] ref read
         g_idx = nbr_ref[:, k]
@@ -140,14 +143,17 @@ def windowed_gather_conv(
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cout_pad - cout)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # window_start, offset_window_start
+        num_scalar_prefetch=1,  # window_start
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((chunk, k), lambda i, ws, wsk: (i, 0)),  # nbr
+            # wsk in VMEM, 8 chunks per block (sublane-divisibility rule);
+            # the kernel indexes row i % 8
+            pl.BlockSpec((8, k), lambda i, ws: (i // 8, 0)),
+            pl.BlockSpec((chunk, k), lambda i, ws: (i, 0)),  # nbr
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, fully resident
             pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay off-chip
         ],
-        out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws, wsk: (i, 0)),
+        out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window, cin_pad), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),

@@ -186,10 +186,13 @@ def compute_offset_window_starts(
     big = np.iinfo(np.int32).max
     blk = nbr[: n * chunk].reshape(n, chunk, k)
     masked = np.where(blk >= 0, blk, big)
-    lo_k = masked.min(axis=1)  # [n, K]
-    lo_k = np.where(lo_k == big, 0, lo_k)
-    lo = (lo_k.min(axis=1) // align) * align
+    lo_k = masked.min(axis=1)  # [n, K]; big where an offset has no valid nbr
+    lo_global = lo_k.min(axis=1)  # big only when the whole chunk is empty
+    lo = np.where(lo_global == big, 0, lo_global)
+    lo = (lo // align) * align
     ws = np.clip(lo, 0, max(v_in - window, 0)).astype(np.int32)
+    # empty offsets take the chunk's window start (no valid nbr to cover)
+    lo_k = np.where(lo_k == big, ws[:, None], lo_k)
     wsk = (lo_k // align) * align
     wsk = np.clip(wsk, ws[:, None], (ws + window - subwin)[:, None]).astype(np.int32)
     return ws, wsk
