@@ -1,0 +1,83 @@
+"""Pipeline edge cases: 0/1-candidate samples, overflow accounting, owners."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from instancerefer_tpu.data.pipeline import BatchSpec, collate, pad_sample
+from instancerefer_tpu.data.synthetic import TEST_SPEC, make_core_sample
+
+
+def test_zero_candidate_sample(rng):
+    """A query class matching no instance: no candidates, no instance voxels,
+    but the sample still collates (eval counts it as a miss)."""
+    core = make_core_sample(rng, target_class=5, num_candidates=3)
+    core = dataclasses.replace(core, filter_class=9)  # class with no instances
+    # ensure really no instance of class 9
+    core = dataclasses.replace(
+        core, instance_class=[c if c != 9 else 8 for c in core.instance_class]
+    )
+    padded = pad_sample(core, TEST_SPEC)
+    assert padded["cand_mask"].sum() == 0
+    assert (padded["inst_owner_0"] == -1).all()
+    batch = collate([padded, pad_sample(make_core_sample(rng), TEST_SPEC)], TEST_SPEC)
+    assert batch["cand_mask"].shape == (2, TEST_SPEC.max_candidates)
+    assert batch["cand_mask"][0].sum() == 0
+
+
+def test_single_candidate_sample_skips_encoder(rng):
+    """<2 candidates: pred_obb kept for eval, but no voxels are emitted
+    (reference models/attribute_module.py:75-76 BN-statistics parity)."""
+    core = make_core_sample(rng, num_candidates=1)
+    padded = pad_sample(core, TEST_SPEC)
+    assert padded["cand_mask"].sum() == 1
+    assert np.abs(padded["pred_obb_batch"][0]).sum() > 0
+    assert (padded["inst_owner_0"] == -1).all()
+
+
+def test_overflow_fractions(rng):
+    core = make_core_sample(rng, num_points=4000, num_candidates=3)
+    tiny = dataclasses.replace(TEST_SPEC, scene_caps=(64, 32, 16, 8, 8))
+    padded = pad_sample(core, tiny)
+    assert padded["scene_overflow"] > 0.5  # most voxels dropped at cap 64
+    big = dataclasses.replace(TEST_SPEC, scene_caps=(8192, 4096, 2048, 1024, 512))
+    padded2 = pad_sample(core, big)
+    assert padded2["scene_overflow"] == 0.0
+
+
+def test_collate_owner_ids(rng):
+    samples = [pad_sample(make_core_sample(rng, num_candidates=2), TEST_SPEC) for _ in range(3)]
+    batch = collate(samples, TEST_SPEC)
+    c = TEST_SPEC.max_candidates
+    cap = TEST_SPEC.inst_caps[0]
+    for b in range(3):
+        blk = batch["inst_owner_0"][b * cap : (b + 1) * cap]
+        valid = blk[blk >= 0]
+        if len(valid):
+            assert (valid // c == b).all()  # owners live in sample b's id range
+    scap = TEST_SPEC.scene_caps[0]
+    for b in range(3):
+        blk = batch["scene_owner_0"][b * scap : (b + 1) * scap]
+        valid = blk[blk >= 0]
+        assert (valid == b).all()
+
+
+def test_pallas_window_fields_only_when_enabled(rng):
+    from instancerefer_tpu.data.pipeline import batch_to_device_dict
+
+    spec_on = dataclasses.replace(
+        TEST_SPEC,
+        pallas_conv=True, pallas_chunk=64, pallas_window=256, pallas_subwin=128,
+        scene_caps=(1024, 512, 256, 256, 256),
+        inst_caps=(1024, 512, 256, 256, 256),
+    )
+    samples = [pad_sample(make_core_sample(rng), spec_on) for _ in range(2)]
+    dd = batch_to_device_dict(collate(samples, spec_on), spec_on)
+    st0 = dd["scene_pyramid"][0]
+    assert st0.ws3 is not None and st0.wsk3 is not None
+    assert st0.ws3.shape == (2 * 1024 // 64,)
+    assert (np.asarray(st0.ws3) % 16 == 0).all()
+
+    dd_off = batch_to_device_dict(collate(samples, spec_on), TEST_SPEC)
+    assert dd_off["scene_pyramid"][0].ws3 is None
