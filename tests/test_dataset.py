@@ -177,6 +177,21 @@ def test_class_override_changes_candidates(fake_data_root):
     assert padded["instance_class"][slot] == 4
 
 
+def test_threaded_loader_matches_serial(fake_data_root):
+    """num_workers>0 (thread pool) must produce the same batches as serial."""
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    a = list(PaddedLoader(ds, SPEC, batch_size=2, shuffle=False, num_workers=0,
+                          drop_last=False, seed=3))
+    b = list(PaddedLoader(ds, SPEC, batch_size=2, shuffle=False, num_workers=2,
+                          drop_last=False, seed=3))
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+
 def test_get_scanrefer_roundtrip(fake_data_root):
     root, scanrefer = fake_data_root
     loaded = get_scanrefer(root, "val")
