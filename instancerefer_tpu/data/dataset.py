@@ -89,6 +89,7 @@ class ScannetReferenceDataset:
         use_augment: bool = True,
         seed: int = 42,
         dc: Optional[ScannetDatasetConfig] = None,
+        allow_missing_tsv: bool = False,
     ):
         self.scanrefer = scanrefer
         self.split = split
@@ -104,9 +105,20 @@ class ScannetReferenceDataset:
         meta_dir = os.path.join(data_root, "scannet", "meta_data")
         self.dc = dc or ScannetDatasetConfig(meta_dir=meta_dir)
         tsv = os.path.join(meta_dir, "scannetv2-labels.combined.tsv")
-        self.raw2label = (
-            self.dc.raw2label_from_tsv(tsv) if os.path.exists(tsv) else {}
-        )
+        if os.path.exists(tsv):
+            self.raw2label = self.dc.raw2label_from_tsv(tsv)
+        elif allow_missing_tsv:
+            # every object maps to class 17 ("others") — only acceptable in
+            # tests that opt in explicitly
+            self.raw2label = {}
+        else:
+            raise FileNotFoundError(
+                f"ScanNet metadata not found: {tsv}. Without it every object "
+                "would silently map to class 17 ('others') and training would "
+                "be garbage. Place scannetv2-labels.combined.tsv under "
+                f"{meta_dir} (see reference lib/dataset.py:302-320), or pass "
+                "allow_missing_tsv=True (tests only)."
+            )
         self.unique_multiple_lookup = self._get_unique_multiple_lookup()
 
         glove_path = os.path.join(data_root, "glove.p")

@@ -175,9 +175,16 @@ def pad_sample(
         if inst_feat_rows
         else np.zeros((0, spec.feat_dim), np.float32)
     )
-    n_inst_rows = len(merged[0].coords)
+    # overflow across ALL stages: deeper stages can bust their caps even when
+    # stage 0 fits (e.g. many small candidates whose downsampled rows shrink
+    # slower than the cap schedule) — silent truncation there was caught by
+    # the golden parity test
     out["inst_overflow"] = np.float32(
-        max(0, n_inst_rows - spec.inst_caps[0]) / max(n_inst_rows, 1)
+        max(
+            max(0, len(merged[s].coords) - spec.inst_caps[s])
+            / max(len(merged[s].coords), 1)
+            for s in range(spec.num_stages)
+        )
     )
     out.update(
         _pack_pyramid(merged, inst_feats, spec.inst_caps, prefix="inst", feat_dim=spec.feat_dim)
@@ -188,11 +195,15 @@ def pad_sample(
         core.point_cloud[:, :3], core.point_cloud[:, : spec.feat_dim], voxel_size_glp,
         raster_order=spec.pallas_conv,
     )
-    out["scene_overflow"] = np.float32(
-        max(0, len(coords) - spec.scene_caps[0]) / max(len(coords), 1)
-    )
     scene_pyr = V.build_pyramid(
         coords, owner=0, num_stages=spec.num_stages, raster=spec.pallas_conv
+    )
+    out["scene_overflow"] = np.float32(
+        max(
+            max(0, len(scene_pyr[s].coords) - spec.scene_caps[s])
+            / max(len(scene_pyr[s].coords), 1)
+            for s in range(spec.num_stages)
+        )
     )
     out.update(
         _pack_pyramid(
@@ -250,7 +261,11 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
     out: Dict[str, np.ndarray] = {}
 
     pyramid_keys = {
-        k for k in samples[0] if k.startswith(("scene_", "inst_")) and k != "instance_mask"
+        k
+        for k in samples[0]
+        if k.startswith(("scene_", "inst_"))
+        and k != "instance_mask"
+        and not k.endswith("_overflow")  # scalar diagnostics stack like plain keys
     }
     plain = [k for k in samples[0] if k not in pyramid_keys]
     for k in plain:

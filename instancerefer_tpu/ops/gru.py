@@ -49,7 +49,7 @@ class GRUCellScan(nn.Module):
         """x: [B, T, C] -> outputs [B, T, H] (zeros past lengths)."""
         b, t, c = x.shape
         h = self.hidden_size
-        scale = 1.0 / jnp.sqrt(h).item() if False else h ** -0.5
+        scale = h ** -0.5  # torch GRU init: U(-1/sqrt(hidden), 1/sqrt(hidden))
         wx = self.param("wx", _uniform(scale), (c, 3 * h))
         wh = self.param("wh", _uniform(scale), (h, 3 * h))
         bx = self.param("bx", _uniform(scale), (3 * h,))

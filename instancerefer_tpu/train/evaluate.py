@@ -23,13 +23,24 @@ from instancerefer_tpu.ops.boxes import box3d_iou_aabb, get_3d_box_corners
 
 
 def get_eval(data_dict):
-    """Returns data_dict updated with eval keys (all jnp, per-sample)."""
+    """Returns data_dict updated with eval keys (all jnp, per-sample).
+
+    ``sample_valid`` (loader padding mask for partial final batches) excludes
+    duplicated rows from every scalar metric, matching the reference whose
+    last torch batch is genuinely smaller.  Per-sample keys (``ref_iou``,
+    ``ref_acc``, ``lang_correct``) stay unmasked — callers filter rows.
+    """
     out = dict(data_dict)
     lang_scores = data_dict["lang_scores"]
+    valid = data_dict.get("sample_valid")
+    if valid is None:
+        valid = jnp.ones(lang_scores.shape[0], bool)
+    vf = valid.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(vf), 1.0)
     lang_cls_pred = jnp.argmax(lang_scores, axis=1)
-    out["lang_acc"] = jnp.mean(
-        (lang_cls_pred == data_dict["object_cat"]).astype(jnp.float32)
-    )
+    lang_correct = (lang_cls_pred == data_dict["object_cat"]).astype(jnp.float32)
+    out["lang_correct"] = lang_correct
+    out["lang_acc"] = jnp.sum(lang_correct * vf) / n_valid
 
     scores = (
         data_dict["attribute_scores"]
@@ -62,14 +73,16 @@ def get_eval(data_dict):
     )
 
     out["ref_acc"] = ref_acc
+    out["ref_acc_mean"] = jnp.sum(ref_acc * vf) / n_valid
     out["ref_iou"] = iou
-    out["ref_iou_rate_0.25"] = jnp.mean((iou >= 0.25).astype(jnp.float32))
-    out["ref_iou_rate_0.5"] = jnp.mean((iou >= 0.5).astype(jnp.float32))
+    out["ref_iou_rate_0.25"] = jnp.sum((iou >= 0.25) * vf) / n_valid
+    out["ref_iou_rate_0.5"] = jnp.sum((iou >= 0.5) * vf) / n_valid
     out["ref_multiple_mask"] = data_dict["unique_multiple"]
     out["ref_others_mask"] = (data_dict["object_cat"] == 17).astype(jnp.int32)
     out["pred_bboxes"] = get_3d_box_corners(pred_obb)
     out["gt_bboxes"] = get_3d_box_corners(ref_gt_obb)
-    out["num_missed"] = jnp.sum((num_cand == 0).astype(jnp.int32))
+    out["num_missed"] = jnp.sum((num_cand == 0) & valid)
+    out["sample_valid"] = valid
     return out
 
 

@@ -77,19 +77,30 @@ def cross_entropy(logits, labels):
     return -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
 
 
-def compute_scene_mask_loss(data_dict):
+def _masked_mean(values, valid):
+    """Mean over rows where ``valid``; equals plain mean when all rows valid."""
+    vf = valid.astype(jnp.float32)
+    return jnp.sum(values * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+
+def compute_scene_mask_loss(data_dict, valid=None):
     """CE over the 9 BEV regions + accuracy (lib/loss_helper.py:131-161)."""
     pred = data_dict["seg_scores"]  # [B, 9]
     label = scene_region_label(
         data_dict["ref_center_label"], data_dict["point_min"], data_dict["point_max"]
     )
-    loss = jnp.mean(cross_entropy(pred, label))
-    acc = jnp.mean((jnp.argmax(pred, axis=1) == label).astype(jnp.float32))
+    if valid is None:
+        valid = jnp.ones(pred.shape[0], bool)
+    loss = _masked_mean(cross_entropy(pred, label), valid)
+    acc = _masked_mean((jnp.argmax(pred, axis=1) == label).astype(jnp.float32), valid)
     return loss, acc, label
 
 
-def compute_lang_classification_loss(data_dict):
-    return jnp.mean(cross_entropy(data_dict["lang_scores"], data_dict["object_cat"]))
+def compute_lang_classification_loss(data_dict, valid=None):
+    ce = cross_entropy(data_dict["lang_scores"], data_dict["object_cat"])
+    if valid is None:
+        valid = jnp.ones(ce.shape[0], bool)
+    return _masked_mean(ce, valid)
 
 
 def get_loss(data_dict, mean_size_arr):
@@ -99,10 +110,18 @@ def get_loss(data_dict, mean_size_arr):
     ``cluster_label_mask`` ([B] bool: sample had >=1 candidate) reproduce the
     reference's ragged ``cluster_label`` list (``lib/loss_helper.py:233-247``)
     in padded form; ``get_eval`` consumes them just as the reference does.
+
+    If the batch carries ``sample_valid`` (rows duplicated by the loader to
+    fill a partial final batch are False), every mean/denominator counts only
+    valid rows — equivalent to the reference's genuinely-smaller last torch
+    batch (``lib/loss_helper.py:263`` divides by the actual batch size).
     """
     out = dict(data_dict)
-    lang_loss = compute_lang_classification_loss(data_dict)
-    seg_loss, seg_acc, region_label = compute_scene_mask_loss(data_dict)
+    valid = data_dict.get("sample_valid")
+    if valid is None:
+        valid = jnp.ones(data_dict["lang_scores"].shape[0], bool)
+    lang_loss = compute_lang_classification_loss(data_dict, valid)
+    seg_loss, seg_acc, region_label = compute_scene_mask_loss(data_dict, valid)
 
     ref_gt_obb = param2obb(
         data_dict["ref_center_label"],
@@ -133,8 +152,10 @@ def get_loss(data_dict, mean_size_arr):
         cand_mask,
     )
     # skip rules (lib/loss_helper.py:236-256): need >=2 candidates and IoU>=0.2
-    use = (num_cand >= 2) & (max_iou >= 0.2)
-    ref_loss = jnp.sum(jnp.where(use, per_sample, 0.0)) / bsz
+    use = (num_cand >= 2) & (max_iou >= 0.2) & valid
+    ref_loss = jnp.sum(jnp.where(use, per_sample, 0.0)) / jnp.maximum(
+        jnp.sum(valid.astype(jnp.float32)), 1.0
+    )
 
     out["ref_loss"] = ref_loss
     out["lang_loss"] = lang_loss

@@ -99,11 +99,13 @@ def make_optimizer(lr: float, wd: float, lr_decay_step, lr_decay_rate, steps_per
 
 def bn_momentum_for_epoch(epoch: int, bn_decay_step, bn_decay_rate) -> float:
     """BNMomentumScheduler (lib/scheduler_helper.py + lib/solver.py:128-137):
-    torch-momentum = 1 - lambda(epoch), lambda = max(0.5 * rate^(epoch//step), 0.001).
+    lambda(epoch) = max(0.5 * rate^(epoch//step), 0.001).
 
-    torch BN 'momentum' arg is the update weight of the *new* batch statistic;
-    the scheduler sets module.momentum = lmbd(epoch), so we return that value
-    directly for MaskedBatchNorm's ``momentum`` call arg.
+    The reference scheduler sets ``module.momentum = lmbd(epoch)`` on every
+    torch BN (torch momentum = update weight of the *new* batch statistic);
+    MaskedBatchNorm uses the identical convention, so the value is returned
+    directly for its ``momentum`` call arg.  Oracle-tested against torch BN
+    running stats in tests/test_batchnorm.py.
     """
     if not (bn_decay_step and bn_decay_rate):
         return 0.1
@@ -127,6 +129,7 @@ class Solver:
         stamp: str = "run",
         output_dir: str = "outputs",
         val_step: int = 2000,
+        start_val: int = 0,
         use_mesh: bool = True,
         seed: int = 123,
     ):
@@ -138,6 +141,11 @@ class Solver:
         self.mesh = make_mesh() if use_mesh else None
         self.stamp = stamp
         self.val_step = val_step
+        # reference parses TRAIN.start_val (config/InstanceRefer.yaml:57) but
+        # never consumes it; here the evident intent is honored — validation
+        # (and best-model selection) starts at epoch ``start_val`` (default 0
+        # = every epoch, identical behavior to the reference's default)
+        self.start_val = start_val
         self.root = os.path.join(output_dir, stamp)
         os.makedirs(self.root, exist_ok=True)
         self.log_path = os.path.join(self.root, "log.txt")
@@ -165,6 +173,7 @@ class Solver:
         self.state: Optional[Dict[str, Any]] = None
         self._global_iter_id = 0
         self._total_iter = {"train": 0, "val": 0}
+        self._val_len = 0
         self._train_step = None
         self._eval_step = None
         self.init_log()
@@ -208,9 +217,17 @@ class Solver:
             upd, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, upd)
             out = get_eval(out)
+            return params, new_stats, opt_state, _metrics(out)
+
+        def _metrics(out):
+            # scalar metrics are masked means over valid (non-padding) rows;
+            # per-sample ref_iou ships with its validity mask so the host can
+            # filter the global Acc@IoU pool (reference lib/solver.py:295-297)
             metrics = {k: out[k] for k in METRIC_KEYS}
+            metrics["ref_acc"] = out["ref_acc_mean"]
             metrics["ref_iou"] = out["ref_iou"]
-            return params, new_stats, opt_state, metrics
+            metrics["sample_valid"] = out["sample_valid"]
+            return metrics
 
         @jax.jit
         def eval_step(params, batch_stats, batch):
@@ -219,9 +236,7 @@ class Solver:
             )
             out = get_loss(out, mean_size_arr)
             out = get_eval(out)
-            metrics = {k: out[k] for k in METRIC_KEYS}
-            metrics["ref_iou"] = out["ref_iou"]
-            return metrics
+            return _metrics(out)
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -234,6 +249,7 @@ class Solver:
         self.verbose = verbose
         self._total_iter["train"] = len(dataloader["train"]) * epoch
         self._total_iter["val"] = len(dataloader["val"]) * self.val_step
+        self._val_len = len(dataloader["val"])  # for the ETA's val term
 
         epoch_id = 0
         for epoch_id in range(epoch):
@@ -245,18 +261,24 @@ class Solver:
                 self._feed(dataloader["train"], "train", epoch_id, bn_momentum)
                 self._log("saving last models...\n")
                 self.save_checkpoint("model_last")
-                self.init_log()
-                self._feed(dataloader["val"], "val", epoch_id)
+                if epoch_id + 1 >= self.start_val:
+                    self.init_log()
+                    self._feed(dataloader["val"], "val", epoch_id)
                 self.state["epoch"] = epoch_id + 1
             except KeyboardInterrupt:
                 self._finish(epoch_id)
                 return
         self._finish(epoch_id)
 
-    def _device_prefetch(self, loader, size: int = 2):
+    def _device_prefetch(self, loader, size: int = 2, overflow_log=None):
         """Transfer batches to device ahead of consumption: ``device_put`` is
         asynchronous, so batch k+1's host->device copy overlaps step k's
-        compute (the reference's fetch time is serial, lib/solver.py:239)."""
+        compute (the reference's fetch time is serial, lib/solver.py:239).
+
+        ``overflow_log`` ({"scene": [], "inst": []}) accumulates per-batch
+        capacity-overflow fractions — read here, while the leaves are still
+        host numpy, so the bookkeeping never forces a device sync.
+        """
         import collections
 
         queue = collections.deque()
@@ -264,29 +286,42 @@ class Solver:
         while True:
             while len(queue) < size:
                 try:
-                    queue.append(shard_batch(next(it), self.mesh))
+                    nxt = next(it)
                 except StopIteration:
                     break
+                if overflow_log is not None and "scene_overflow" in nxt:
+                    so = np.asarray(nxt["scene_overflow"])
+                    io_ = np.asarray(nxt["inst_overflow"])
+                    if isinstance(so, np.ndarray):  # still host-side
+                        overflow_log["scene"].append(float(so.mean()))
+                        overflow_log["inst"].append(float(io_.mean()))
+                queue.append(shard_batch(nxt, self.mesh))
             if not queue:
                 return
             yield queue.popleft()
 
+    def _report_overflow(self, phase, overflow_log):
+        """Epoch-wide capacity-overflow fractions (every batch, not just the
+        first): a capacity bust anywhere in the epoch is surfaced here."""
+        if not overflow_log["scene"]:
+            return
+        so = float(np.mean(overflow_log["scene"]))
+        io_ = float(np.mean(overflow_log["inst"]))
+        so_max = float(np.max(overflow_log["scene"]))
+        io_max = float(np.max(overflow_log["inst"]))
+        if max(so, io_, so_max, io_max) > 0.01:
+            self._log(
+                f"WARNING: [{phase}] voxel capacity overflow over the epoch "
+                f"(scene mean {so:.1%} / max {so_max:.1%}, instance mean "
+                f"{io_:.1%} / max {io_max:.1%}) — raise scene_caps/inst_caps "
+                f"in the TPU config section to avoid dropped voxels"
+            )
+
     def _feed(self, loader, phase, epoch_id, bn_momentum: float = 0.1):
         fetch_start = time.time()
-        overflow_checked = False
-        for batch in self._device_prefetch(loader):
+        overflow_log = {"scene": [], "inst": []}
+        for batch in self._device_prefetch(loader, overflow_log=overflow_log):
             self.log[phase]["fetch"].append(time.time() - fetch_start)
-            if not overflow_checked and "scene_overflow" in batch:
-                overflow_checked = True  # first batch only (fetch costs a sync)
-                so = float(np.mean(np.asarray(batch["scene_overflow"])))
-                io_ = float(np.mean(np.asarray(batch["inst_overflow"])))
-                if so > 0.01 or io_ > 0.01:
-                    self._log(
-                        f"WARNING: voxel capacity overflow (scene {so:.1%}, "
-                        f"instance {io_:.1%}) — raise scene_caps/inst_caps in the "
-                        f"TPU config section to avoid dropped voxels"
-                    )
-
             start = time.time()
             if phase == "train":
                 self.rng, drop_rng = jax.random.split(self.rng)
@@ -313,7 +348,10 @@ class Solver:
 
             for k in METRIC_KEYS:
                 self.log[phase][k].append(float(np.mean(metrics[k])))
-            self.log[phase]["ref_iou"] += list(np.asarray(metrics["ref_iou"]).ravel())
+            valid_rows = np.asarray(metrics["sample_valid"]).ravel().astype(bool)
+            self.log[phase]["ref_iou"] += list(
+                np.asarray(metrics["ref_iou"]).ravel()[valid_rows]
+            )
             ious = np.asarray(self.log[phase]["ref_iou"])
             self.log[phase]["iou_rate_0.25"] = float((ious >= 0.25).mean())
             self.log[phase]["iou_rate_0.5"] = float((ious >= 0.5).mean())
@@ -328,6 +366,7 @@ class Solver:
                 self._global_iter_id += 1
             fetch_start = time.time()
 
+        self._report_overflow(phase, overflow_log)
         if phase == "val":
             self._dump_log("val")
             self._epoch_report(epoch_id)
@@ -475,6 +514,12 @@ class Solver:
         mean_train_time = float(np.mean(log["iter_time"]))
         mean_est_val_time = float(np.mean([f + fw for f, fw in zip(log["fetch"], log["forward"])]))
         eta_sec = (self._total_iter["train"] - self._global_iter_id - 1) * mean_train_time
+        # estimated remaining validation time (lib/solver.py:404)
+        eta_sec += (
+            self._val_len
+            * np.ceil(self._total_iter["train"] / self.val_step)
+            * mean_est_val_time
+        )
         eta = decode_eta(eta_sec)
         self._log(
             ITER_REPORT_TEMPLATE.format(

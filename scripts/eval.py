@@ -161,7 +161,9 @@ def eval_ref(cfg: Config):
                 "ref_acc": out["ref_acc"],
                 "multiple": out["ref_multiple_mask"],
                 "others": out["ref_others_mask"],
-                "lang_acc": out["lang_acc"],
+                # per-sample correctness so padded duplicate rows can be
+                # filtered out of the published lang_acc
+                "lang_correct": out["lang_correct"],
                 # predicted/GT boxes (the reference also pickles predictions.p,
                 # scripts/eval.py:160-187)
                 "pred_bboxes": out["pred_bboxes"],
@@ -171,9 +173,8 @@ def eval_ref(cfg: Config):
         all_res = {
             k: []
             for k in ["ref_iou", "ref_acc", "multiple", "others",
-                      "pred_bboxes", "gt_bboxes"]
+                      "lang_correct", "pred_bboxes", "gt_bboxes"]
         }
-        lang_accs = []
         for batch in loader:
             valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
             dd = batch_to_device_dict(batch, spec)
@@ -182,9 +183,8 @@ def eval_ref(cfg: Config):
             )
             for k in all_res:
                 all_res[k].append(np.asarray(res[k])[valid])
-            lang_accs.append(float(res["lang_acc"]))
         res = {k: np.concatenate(v) for k, v in all_res.items()}
-        res["lang_acc"] = np.array(lang_accs)
+        res["lang_acc"] = res["lang_correct"]
         np.savez(cache_path, **res)
     else:
         print(f"loading cached scores from {cache_path}...")

@@ -123,6 +123,7 @@ def train(cfg: Config):
         stamp=stamp,
         output_dir=cfg.path_output,
         val_step=cfg.val_step,
+        start_val=cfg.start_val,
         seed=cfg.manual_seed,
     )
 
