@@ -67,7 +67,7 @@ class AttributeModule(nn.Module):
         out["obj_feats"] = pooled  # consumed by the scene module (ref :106)
 
         vis = TorchLinear(self.h_dim, name="vis_emb_fc_0")(pooled)
-        vis = nn.LayerNorm(name="vis_emb_fc_ln")(vis)
+        vis = nn.LayerNorm(epsilon=1e-5, name="vis_emb_fc_ln")(vis)
         vis = nn.relu(vis)
         vis = TorchLinear(self.h_dim, name="vis_emb_fc_1")(vis)
         vis = l2_normalize(vis, axis=-1)

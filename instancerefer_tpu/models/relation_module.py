@@ -139,7 +139,7 @@ class RelationModule(nn.Module):
         )(node_feats, node_xyz, inst_mask, cand_slot, cand_mask)  # [B, C, 128]
 
         vis = TorchLinear(self.h_dim, name="vis_emb_fc_0")(feats)
-        vis = nn.LayerNorm(name="vis_emb_fc_ln")(vis)
+        vis = nn.LayerNorm(epsilon=1e-5, name="vis_emb_fc_ln")(vis)
         vis = nn.relu(vis)
         vis = nn.Dropout(self.dropout_rate, deterministic=not train)(vis)
         vis = TorchLinear(self.h_dim, name="vis_emb_fc_1")(vis)

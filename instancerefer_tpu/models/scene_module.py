@@ -107,7 +107,7 @@ class SceneModule(nn.Module):
 
         lang = data_dict["lang_scene_feats"]  # [B, 256]
         lang = TorchLinear(self.h_dim, name="lang_emb_fc_0")(lang)
-        lang = nn.LayerNorm(name="lang_emb_fc_ln")(lang)
+        lang = nn.LayerNorm(epsilon=1e-5, name="lang_emb_fc_ln")(lang)
         lang = nn.relu(lang)
         lang = nn.Dropout(self.dropout_rate, deterministic=not train)(lang)
         lang = TorchLinear(self.h_dim, name="lang_emb_fc_1")(lang)  # [B, h]
@@ -132,7 +132,7 @@ class SceneModule(nn.Module):
 
         # ---- scene <-> object matching
         obj = TorchLinear(self.h_dim, name="vis_emb_fc1_0")(obj_feats)
-        obj = nn.LayerNorm(name="vis_emb_fc1_ln")(obj)
+        obj = nn.LayerNorm(epsilon=1e-5, name="vis_emb_fc1_ln")(obj)
         obj = nn.relu(obj)
         obj = nn.Dropout(self.dropout_rate, deterministic=not train)(obj)
         obj = TorchLinear(self.h_dim, name="vis_emb_fc1_1")(obj)  # [B, C, h]

@@ -1,0 +1,239 @@
+"""Golden end-to-end parity: flax model vs a CPU-torch replica of the
+reference (tests/golden_replica.py), one set of shared random weights.
+
+This is the recorded-golden test closing SURVEY.md §7's hard parts 1-3: if any
+module is mis-wired relative to /root/reference/models/*.py (conv topology, BN
+placement, attention pooling, filtering rules, score flattening, loss/eval
+rules), some compared key diverges.  Fixtures cover every per-sample rule:
+>=2 candidates (scored), exactly 1 (trivially selected, no scores), 0 (miss),
+and the max-IoU < 0.2 ref-loss skip.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from instancerefer_tpu.data.pipeline import (
+    BatchSpec,
+    batch_to_device_dict,
+    collate,
+    pad_sample,
+)
+from instancerefer_tpu.data.synthetic import make_core_sample
+from instancerefer_tpu.models.instancerefer import InstanceRefer
+from instancerefer_tpu.train.evaluate import get_eval
+from instancerefer_tpu.train.losses import get_loss
+
+import golden_replica as gr
+
+SPEC = BatchSpec(
+    max_tokens=24,
+    max_instances=16,
+    max_candidates=8,
+    scene_caps=(4096, 2048, 1024, 512, 256),
+    inst_caps=(2048, 1024, 1024, 512, 256),
+)
+MEAN_SIZE = np.linspace(0.3, 2.0, 18)[:, None] * np.array([[1.0, 0.9, 0.8]])
+TARGET = 5  # fixture object class
+
+
+def _make_cores():
+    """4 samples covering the 0 / 1 / >=2 candidate and IoU-skip rules."""
+    rng = np.random.default_rng(11)
+    cores = []
+    # candidate counts are forced by overwriting instance classes: the filter
+    # is exact class equality (models/attribute_module.py:62)
+    class_plans = [
+        [TARGET, TARGET, TARGET, 1, 2, 3],   # 3 candidates
+        [TARGET, 0, 1, 2, 3, 4],             # 1 candidate  (no scores)
+        [0, 1, 2, 3, 4, 6],                  # 0 candidates (miss)
+        [TARGET, TARGET, TARGET, TARGET, 2, 3],  # 4 candidates, IoU-skip below
+    ]
+    for i, plan in enumerate(class_plans):
+        core = make_core_sample(
+            rng, num_points=1500, num_instances=6, points_per_instance=256,
+            target_class=TARGET, num_candidates=0, scan_idx=i,
+            mean_size_arr=MEAN_SIZE,
+        )
+        core.instance_class = list(plan)
+        cores.append(core)
+    # sample 3: GT box far from every candidate -> max IoU < 0.2 -> the
+    # reference skips its ref-loss term (lib/loss_helper.py:256)
+    cores[3].ref_center_label = cores[3].ref_center_label + 50.0
+    return cores
+
+
+@pytest.fixture(scope="module")
+def golden():
+    cores = _make_cores()
+    padded = [pad_sample(c, SPEC) for c in cores]
+    batch = collate(padded, SPEC)
+    assert float(batch["scene_overflow"].max()) == 0.0
+    assert float(batch["inst_overflow"].max()) == 0.0
+    dd = batch_to_device_dict(batch, SPEC)
+
+    model = InstanceRefer(
+        input_feature_dim=SPEC.feat_dim, num_classes=18,
+        max_candidates=SPEC.max_candidates,
+    )
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(3), "dropout": jax.random.key(4)}, dd
+    )
+    keys = [
+        "lang_scores", "lang_feat", "lang_attr_feats", "lang_cls_feats",
+        "lang_rel_feats", "lang_scene_feats", "attribute_scores", "obj_feats",
+        "num_filtered_objs", "relation_scores", "scene_scores", "seg_scores",
+        "vis_atten", "pred_obb_batch", "cluster_label", "ref_iou", "ref_acc",
+        "lang_acc", "ref_iou_rate_0.25", "ref_iou_rate_0.5", "num_missed",
+        "loss", "ref_loss", "lang_loss", "seg_loss", "seg_acc",
+    ]
+
+    @jax.jit
+    def run(variables, dd):
+        out = model.apply(variables, dd, train=False)
+        out = get_loss(out, jnp.asarray(MEAN_SIZE))
+        out = get_eval(out)
+        return {k: out[k] for k in keys}
+
+    out = jax.tree.map(np.asarray, jax.device_get(run(variables, dd)))
+
+    # ---- torch replica on the ragged originals
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    replica = gr.Replica(params, stats, voxel_size_ap=0.02)
+    tmax = SPEC.max_tokens
+    lang_feat = np.zeros((len(cores), tmax, 300), np.float32)
+    for i, c in enumerate(cores):
+        lang_feat[i, : c.lang_feat.shape[0]] = c.lang_feat[:tmax]
+    ddt = {
+        "lang_feat": torch.tensor(lang_feat),
+        "lang_len": np.array([c.lang_len for c in cores], np.int64),
+        "object_cat": np.array([c.object_cat for c in cores], np.int64),
+        "instance_points": [c.instance_points for c in cores],
+        "instance_class": [c.instance_class for c in cores],
+        "instance_obbs": [c.instance_obbs for c in cores],
+        "point_min": np.stack([c.point_cloud[:, :3].min(0) for c in cores]),
+        "point_max": np.stack([c.point_cloud[:, :3].max(0) for c in cores]),
+        "ref_center_label": np.stack([c.ref_center_label for c in cores]),
+        "ref_size_class_label": np.array([c.ref_size_class_label for c in cores]),
+        "ref_size_residual_label": np.stack([c.ref_size_residual_label for c in cores]),
+        "lidar": [
+            gr.quantize_first(c.point_cloud[:, :3], c.point_cloud[:, :7], 0.05)
+            for c in cores
+        ],
+    }
+    ddt = replica.forward(ddt)
+    ddt = gr.replica_get_loss(ddt, MEAN_SIZE)
+    ddt = gr.replica_get_eval(ddt)
+
+    ncand = np.array([len(ddt["pred_obb_batch"][i]) for i in range(len(cores))])
+    return out, ddt, ncand
+
+
+def _flat(padded, ncand):
+    """Reference score layout: rows of samples with >=2 candidates, flattened
+    (models/attribute_module.py:115-126)."""
+    rows = [np.asarray(padded)[b, : int(n)] for b, n in enumerate(ncand) if n >= 2]
+    return np.concatenate(rows) if rows else np.zeros(0)
+
+
+def test_candidate_rule_coverage(golden):
+    _, _, ncand = golden
+    assert sorted(ncand.tolist()) == [0, 1, 3, 4]
+
+
+def test_lang_outputs_match(golden):
+    out, ddt, _ = golden
+    np.testing.assert_allclose(
+        out["lang_scores"], ddt["lang_scores"].numpy(), atol=2e-4, rtol=1e-4
+    )
+    for k in ["lang_attr_feats", "lang_cls_feats", "lang_rel_feats", "lang_scene_feats"]:
+        np.testing.assert_allclose(out[k], ddt[k].numpy(), atol=2e-4, rtol=1e-4,
+                                   err_msg=k)
+    tmax = ddt["lang_feat_gru"].shape[1]
+    np.testing.assert_allclose(
+        out["lang_feat"][:, :tmax], ddt["lang_feat_gru"].numpy(),
+        atol=2e-4, rtol=1e-4,
+    )
+
+
+def test_attribute_scores_match(golden):
+    out, ddt, ncand = golden
+    np.testing.assert_allclose(
+        _flat(out["attribute_scores"], ncand),
+        ddt["attribute_scores"].numpy(), atol=3e-4,
+    )
+    np.testing.assert_allclose(
+        _flat(out["obj_feats"], ncand), ddt["obj_feats"].numpy(),
+        atol=1e-3, rtol=1e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["num_filtered_objs"]),
+        np.array(ddt["num_filtered_objs"]),
+    )
+
+
+def test_relation_scores_match(golden):
+    out, ddt, ncand = golden
+    np.testing.assert_allclose(
+        _flat(out["relation_scores"], ncand),
+        ddt["relation_scores"].numpy(), atol=3e-4,
+    )
+
+
+def test_scene_outputs_match(golden):
+    out, ddt, ncand = golden
+    np.testing.assert_allclose(
+        _flat(out["scene_scores"], ncand),
+        ddt["scene_scores"].numpy(), atol=3e-4,
+    )
+    np.testing.assert_allclose(
+        out["seg_scores"], ddt["seg_scores"].numpy(), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        out["vis_atten"], ddt["vis_atten"].numpy(), atol=1e-4
+    )
+
+
+def test_pred_obbs_match(golden):
+    out, ddt, ncand = golden
+    for b, n in enumerate(ncand):
+        np.testing.assert_allclose(
+            np.asarray(out["pred_obb_batch"])[b, : int(n)],
+            ddt["pred_obb_batch"][b], atol=1e-6, err_msg=f"sample {b}",
+        )
+
+
+def test_losses_match(golden):
+    out, ddt, _ = golden
+    for k in ["lang_loss", "seg_loss", "seg_acc", "ref_loss", "loss"]:
+        np.testing.assert_allclose(
+            float(out[k]), float(ddt[k]), rtol=2e-3, atol=2e-4, err_msg=k
+        )
+
+
+def test_cluster_labels_match(golden):
+    out, ddt, ncand = golden
+    for b, n in enumerate(ncand):
+        np.testing.assert_array_equal(
+            np.asarray(out["cluster_label"])[b, : int(n)],
+            ddt["cluster_label"][b], err_msg=f"sample {b}",
+        )
+
+
+def test_eval_metrics_match(golden):
+    out, ddt, _ = golden
+    np.testing.assert_allclose(out["ref_iou"], ddt["ref_iou"], atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out["ref_acc"]), np.array(ddt["ref_acc_list"])
+    )
+    assert float(out["lang_acc"]) == pytest.approx(ddt["lang_acc"])
+    assert float(out["ref_iou_rate_0.25"]) == pytest.approx(ddt["ref_iou_rate_0.25"])
+    assert float(out["ref_iou_rate_0.5"]) == pytest.approx(ddt["ref_iou_rate_0.5"])
+    assert int(out["num_missed"]) == ddt["num_missed"]
