@@ -20,7 +20,35 @@ import time
 
 import numpy as np
 
+# Estimated, not measured: the reference publishes no throughput numbers
+# (SURVEY.md §6); ~15 scenes/s is our A100 estimate of its host-loop-bound
+# forward (PERF.md).  vs_baseline is ours / this estimate.
 A100_REFERENCE_SCENES_PER_SEC = 15.0
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak dense bf16 (per chip)
+
+
+def model_flops_per_batch(spec, batch_size: int) -> float:
+    """Mathematical (useful) FLOPs of one forward batch at padded capacities:
+    the gather-GEMM convs dominate; heads/GRU/MLPs added coarsely."""
+    widths = (32, 64, 128, 128, 128)
+    total = 0.0
+    for caps in (spec.scene_caps, spec.inst_caps):
+        cin = spec.feat_dim
+        for s, cap in enumerate(caps):
+            v = batch_size * cap
+            if s == 0:
+                total += 2 * v * 27 * cin * widths[0]  # stem 3^3
+            else:
+                total += 2 * v * 8 * widths[s - 1] * widths[s]  # down 2^3
+                total += 2 * 2 * v * 27 * widths[s] * widths[s]  # residual
+    # BEV head: ToDenseBEV + 2x 3^3 conv2d on 15x25 -> 11x21
+    total += 2 * batch_size * spec.scene_caps[-1] * 128 * 128
+    total += 2 * batch_size * 13 * 23 * 9 * 128 * 128
+    total += 2 * batch_size * 11 * 21 * 9 * 128 * 128
+    # GRU: T steps x 2 layers x 2 dirs x ([256,384] + [128,384]) + word proj
+    total += 2 * batch_size * spec.max_tokens * 2 * 2 * (256 * 384 + 128 * 384)
+    total += 2 * batch_size * spec.max_tokens * (300 * 256 + 256 * 256)
+    return total
 
 
 def main(batch_size: int = 32, iters: int = 20):
@@ -140,7 +168,57 @@ def main(batch_size: int = 32, iters: int = 20):
         tps = batch_size * n_train / (time.time() - t0)
         print(f"[bench] train throughput: {tps:.1f} scenes/s", file=sys.stderr)
     except Exception as e:  # secondary metric must never break the bench
+        tps = 0.0
         print(f"[bench] train-step bench skipped: {e}", file=sys.stderr)
+
+    # end-to-end: host pipeline (pad_sample/collate in threads, PaddedLoader
+    # mechanics) feeding the device step.  NOTE this box has ONE cpu core;
+    # production TPU hosts have ~100 (PERF.md) — e2e here is host-bound and
+    # reported as the honest single-core floor, not the device capability.
+    e2e_scenes_per_sec = 0.0
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from instancerefer_tpu.data.pipeline import collate, pad_sample
+        from instancerefer_tpu.data.synthetic import make_core_sample
+
+        rng = np.random.default_rng(1)
+        cores = [
+            make_core_sample(
+                rng, num_points=40000, num_instances=12, num_candidates=4,
+                scan_idx=i, mean_size_arr=mean_size,
+            )
+            for i in range(batch_size)
+        ]
+        n_e2e = 3
+
+        def build_batch(_):
+            with ThreadPoolExecutor(4) as pool:
+                padded = list(pool.map(lambda c: pad_sample(c, spec), cores, chunksize=2))
+            return batch_to_device_dict(collate(padded, spec), spec)
+
+        warm = eval_step(variables, jax.device_put(build_batch(0)))
+        np.asarray(warm[0])
+        t0 = time.time()
+        for i in range(n_e2e):
+            b = jax.device_put(build_batch(i))
+            r = eval_step(variables, b)
+        np.asarray(r[0])
+        e2e_scenes_per_sec = batch_size * n_e2e / (time.time() - t0)
+        print(
+            f"[bench] e2e (1-core host pipeline in loop): "
+            f"{e2e_scenes_per_sec:.1f} scenes/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] e2e bench skipped: {e}", file=sys.stderr)
+
+    flops = model_flops_per_batch(spec, batch_size)
+    mfu = flops * (scenes_per_sec / batch_size) / V5E_PEAK_BF16_FLOPS
+    print(
+        f"[bench] model flops/batch {flops/1e9:.1f} GF -> eval MFU {mfu:.3f}",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(
@@ -149,6 +227,11 @@ def main(batch_size: int = 32, iters: int = 20):
                 "value": round(scenes_per_sec, 2),
                 "unit": "scenes/s",
                 "vs_baseline": round(scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC, 2),
+                "baseline_note": "vs_baseline divides by a 15 scenes/s A100 ESTIMATE (reference publishes no throughput)",
+                "device_scenes_s": round(scenes_per_sec, 2),
+                "train_scenes_s": round(tps, 2),
+                "e2e_scenes_s_1core_host": round(e2e_scenes_per_sec, 2),
+                "eval_mfu": round(mfu, 4),
             }
         )
     )

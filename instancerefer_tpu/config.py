@@ -77,6 +77,12 @@ class Config:
     # matmul-input dtype for the hot GEMMs ('bfloat16' = native MXU speed,
     # f32 accumulation; 'float32' = full precision)
     compute_dtype: str = "bfloat16"
+    # banded Pallas submanifold conv (train + eval; requires a TPU backend —
+    # auto-disabled elsewhere).  Geometry per ops/pallas_conv.
+    pallas_conv: bool = True
+    pallas_chunk: int = 256
+    pallas_window: int = 2048
+    pallas_subwin: int = 512
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"
@@ -92,6 +98,17 @@ class Config:
         )
 
     def batch_spec(self) -> BatchSpec:
+        use_pallas = bool(self.pallas_conv)
+        if use_pallas:
+            # Mosaic kernels need a real TPU backend; CPU/GPU fall back to the
+            # XLA gather-GEMM path (identical math, tested in
+            # tests/test_pallas_conv.py)
+            try:
+                import jax
+
+                use_pallas = jax.default_backend() not in ("cpu", "gpu")
+            except Exception:
+                use_pallas = False
         return BatchSpec(
             max_tokens=self.max_des_len,
             max_instances=self.max_instances,
@@ -100,6 +117,10 @@ class Config:
             inst_caps=tuple(self.inst_caps),
             num_classes=self.num_classes,
             feat_dim=self.input_feature_dim,
+            pallas_conv=use_pallas,
+            pallas_chunk=self.pallas_chunk,
+            pallas_window=self.pallas_window,
+            pallas_subwin=self.pallas_subwin,
         )
 
     # ---- reference path tree (lib/config.py:34-70)

@@ -111,9 +111,11 @@ class SubMConv3(nn.Module):
     """3^3 stride-1 submanifold sparse conv (output coords == input coords).
 
     When the batch carries banded-window metadata (``sv.ws3``) and
-    ``use_pallas`` is set (eval path only — the Pallas kernel has no VJP),
-    the conv runs through the windowed Pallas kernel
-    (ops/pallas_conv.windowed_gather_conv); otherwise XLA gather-GEMM.
+    ``use_pallas`` is set, the conv runs through the banded Pallas kernel —
+    now differentiable on both train and eval paths: the backward is two more
+    banded kernels (mirrored-gather dX + band-reduction dW,
+    ops/pallas_conv.banded_subm_conv).  Otherwise XLA gather-GEMM with the
+    fast mirrored-gather custom VJP.
     """
 
     features: int
@@ -126,10 +128,10 @@ class SubMConv3(nn.Module):
         cin = feats.shape[-1]
         kernel = self.param("kernel", _conv_init(27, cin), (27, cin, self.features))
         if use_pallas and sv.ws3 is not None:
-            from instancerefer_tpu.ops.pallas_conv import windowed_gather_conv
+            from instancerefer_tpu.ops.pallas_conv import banded_subm_conv
             from instancerefer_tpu.ops.precision import cast_in
 
-            out = windowed_gather_conv(
+            out = banded_subm_conv(
                 cast_in(feats), sv.nbr3, cast_in(kernel), sv.ws3, sv.wsk3,
                 window=sv.pallas_window, chunk=sv.pallas_chunk,
                 subwin=sv.pallas_subwin,
@@ -164,8 +166,9 @@ class BasicConvolutionBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
         if self.ks == 3:
-            # the banded Pallas path has no VJP: eval only
-            x = SubMConv3(self.features, name="conv")(feats, sv, use_pallas=not train)
+            # banded Pallas whenever the batch carries window metadata — the
+            # custom banded VJP makes it valid for training too
+            x = SubMConv3(self.features, name="conv")(feats, sv, use_pallas=True)
         elif self.ks == 2:
             x = DownConv2(self.features, name="conv")(feats, sv)
         else:
@@ -185,10 +188,10 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
-        x = SubMConv3(self.features, name="conv1")(feats, sv, use_pallas=not train)
+        x = SubMConv3(self.features, name="conv1")(feats, sv, use_pallas=True)
         x = MaskedBatchNorm(self.features, name="bn1")(x, sv.mask, train=train, momentum=bn_momentum)
         x = nn.relu(x)
-        x = SubMConv3(self.features, name="conv2")(x, sv, use_pallas=not train)
+        x = SubMConv3(self.features, name="conv2")(x, sv, use_pallas=True)
         x = MaskedBatchNorm(self.features, name="bn2")(x, sv.mask, train=train, momentum=bn_momentum)
         return nn.relu(x + feats)
 

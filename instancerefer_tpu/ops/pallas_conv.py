@@ -171,3 +171,182 @@ def windowed_gather_conv(
     )
     out = fn(window_start, offset_window_start, nbr, kernel, feats)
     return out[:, :cout] if cout_pad != cout else out
+
+
+# ---------------------------------------------------------------------------
+# Banded backward kernels: dW band-reduction + the mirrored-gather dX
+# ---------------------------------------------------------------------------
+
+
+def _dw_kernel(
+    ws_ref, wsk_ref, nbr_ref, g_ref, feats_hbm, out_ref, win, sem,
+    *, chunk, window, subwin, k_offsets,
+):
+    """dW[k] = sum over chunks of gathered_x_k^T @ g_chunk.
+
+    Same window DMA + banded one-hot gather as the forward kernel; the output
+    block index is constant across the grid, so out_ref accumulates in VMEM
+    over the (sequential) chunk iterations.
+    """
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    def dma(slot, chunk_idx):
+        start = pl.multiple_of(ws_ref[chunk_idx], 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window), :], win.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(i + 1 < n_chunks)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    slot = i % 2
+    ws = ws_ref[i]
+    dtype = win.dtype
+    g = g_ref[...].astype(dtype)  # [chunk, Cout]
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
+    for k in range(k_offsets):
+        base = wsk_ref[i % 8, k]
+        off = pl.multiple_of(base - ws, 16)
+        sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cin]
+        g_idx = nbr_ref[:, k]
+        local = g_idx - base
+        valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
+        safe = jnp.where(valid, local, -1)
+        oh = (col == safe[:, None]).astype(dtype)
+        rows = jnp.dot(oh, sub, preferred_element_type=jnp.float32)  # [chunk, Cin]
+        contrib = jax.lax.dot_general(
+            rows.astype(dtype), g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Cin, Cout]
+        out_ref[k, :, :] += contrib
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "chunk", "subwin", "interpret")
+)
+def windowed_conv_dw(
+    feats: jnp.ndarray,
+    nbr: jnp.ndarray,
+    g: jnp.ndarray,
+    window_start: jnp.ndarray,
+    offset_window_start: jnp.ndarray,
+    *,
+    window: int,
+    chunk: int,
+    subwin: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dW[k] = sum_v feats[nbr[v, k]]^T g[v] (banded).  Returns [K, Cin, Cout] f32."""
+    v_out, k = nbr.shape
+    assert v_out % chunk == 0, (v_out, chunk)
+    n_chunks = v_out // chunk
+    cin = feats.shape[-1]
+    cout = g.shape[-1]
+    cin_pad = -(-cin // 128) * 128
+    cout_pad = -(-cout // 128) * 128
+    if cin_pad != cin:
+        feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
+    if cout_pad != cout:
+        g = jnp.pad(g, ((0, 0), (0, cout_pad - cout)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, k), lambda i, ws: (i // 8, 0)),  # wsk
+            pl.BlockSpec((chunk, k), lambda i, ws: (i, 0)),  # nbr
+            pl.BlockSpec((chunk, cout_pad), lambda i, ws: (i, 0)),  # g
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats in HBM
+        ],
+        out_specs=pl.BlockSpec((k, cin_pad, cout_pad), lambda i, ws: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, cin_pad), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(
+            _dw_kernel, chunk=chunk, window=window, subwin=subwin, k_offsets=k
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, cin_pad, cout_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    out = fn(window_start, offset_window_start, nbr, g, feats)
+    return out[:, :cin, :cout]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _banded_core(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk):
+    return windowed_gather_conv(
+        feats, nbr, kernel, ws, wsk,
+        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+    )
+
+
+def _banded_fwd(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk):
+    out = windowed_gather_conv(
+        feats, nbr, kernel, ws, wsk,
+        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+    )
+    return out, (feats, nbr, kernel, ws, wsk)
+
+
+def _banded_bwd(window, chunk, subwin, interpret, res, g):
+    """Banded backward for the symmetric submanifold conv.
+
+    dX reuses the forward kernel via the mirrored-offset identity
+    (nbr(i,k)=j <=> nbr(j,26-k)=i, see ops/sparse._subm_conv_bwd): gathering g
+    over the SAME nbr map with mirror-transposed weights IS dX — and the
+    band metadata applies unchanged because the access pattern is identical.
+    dW is the banded band-reduction kernel above.
+
+    Exactness caveat: gradients are exact for the function the banded forward
+    actually computes.  When bands cover every neighbor (the measured case —
+    zero drops at production geometry), that function equals the dense conv.
+    """
+    feats, nbr, kernel, ws, wsk = res
+    g32 = g.astype(jnp.float32)
+    from instancerefer_tpu.ops.precision import cast_in
+
+    gc = cast_in(g32)
+    w_t = jnp.transpose(cast_in(kernel)[::-1], (0, 2, 1))  # w_t[k] = W[K-1-k]^T
+    dx = _banded_core(window, chunk, subwin, interpret, gc, nbr, w_t, ws, wsk)
+    dx = dx.astype(feats.dtype)
+    dw = windowed_conv_dw(
+        cast_in(feats), nbr, gc, ws, wsk,
+        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+    ).astype(kernel.dtype)
+    return dx, None, dw, None, None
+
+
+_banded_core.defvjp(_banded_fwd, _banded_bwd)
+
+
+def banded_subm_conv(
+    feats: jnp.ndarray,
+    nbr: jnp.ndarray,
+    kernel: jnp.ndarray,
+    ws: jnp.ndarray,
+    wsk: jnp.ndarray,
+    *,
+    window: int,
+    chunk: int,
+    subwin: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable banded 3^3 submanifold conv (train + eval path).
+
+    Requires a symmetric-offset same-coordinate map (``nbr3``) with banded
+    window metadata from ``ops/voxelize.compute_offset_window_starts``.
+    """
+    return _banded_core(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk)

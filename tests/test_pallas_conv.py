@@ -97,6 +97,45 @@ def test_banded_subwindows_match_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_banded_vjp_matches_xla_grads(rng):
+    """banded_subm_conv's custom VJP (mirrored-gather dX + band-reduction dW)
+    must match XLA autodiff of the gather-GEMM reference."""
+    import jax
+
+    from instancerefer_tpu.ops.pallas_conv import banded_subm_conv
+
+    nbr = _build_case(rng)
+    v = len(nbr)
+    cin, cout = 16, 24
+    feats = rng.normal(size=(v, cin)).astype(np.float32)
+    kernel = (rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32)
+    cot = rng.normal(size=(v, cout)).astype(np.float32)
+    chunk, window, subwin = 128, 512, 256
+    ws, wsk = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    jnbr, jws, jwsk, jcot = map(jnp.asarray, (nbr, ws, wsk, cot))
+
+    def loss_ref(f, k):
+        return jnp.sum(gather_conv(f, jnbr, k) * jcot)
+
+    def loss_banded(f, k):
+        return jnp.sum(
+            banded_subm_conv(
+                f, jnbr, k, jws, jwsk,
+                window=window, chunk=chunk, subwin=subwin, interpret=True,
+            )
+            * jcot
+        )
+
+    gf_ref, gk_ref = jax.grad(loss_ref, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel)
+    )
+    gf, gk = jax.grad(loss_banded, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel)
+    )
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), rtol=1e-4, atol=1e-4)
+
+
 def test_window_starts_alignment(rng):
     nbr = _build_case(rng)
     ws = V.compute_window_starts(nbr, 128, 512, len(nbr))
