@@ -28,11 +28,13 @@ def test_encoder_feature_resolution(rng):
 
 
 def test_full_enet_classifier_resolution(rng):
+    """The live reference classifier is a 1x1 conv at 1/8 resolution (its
+    decoder is commented out, lib/enet.py:560-693)."""
     model = Enet(num_classes=41)
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
     variables = jax.jit(functools.partial(model.init, train=False))(jax.random.key(0), x)
     logits, feats = model.apply(variables, x, train=False)
-    assert logits.shape == (1, 64, 64, 41)
+    assert logits.shape == (1, 8, 8, 41)
     assert feats.shape == (1, 8, 8, 128)
 
 
