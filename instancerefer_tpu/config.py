@@ -81,8 +81,14 @@ class Config:
     # auto-disabled elsewhere).  Geometry per ops/pallas_conv.
     pallas_conv: bool = True
     pallas_chunk: int = 256
-    pallas_window: int = 2048
-    pallas_subwin: int = 512
+    pallas_window: int = 1024
+    # per-stage one-hot band widths (int broadcasts to all stages; the MXU
+    # lane-pads to 128 multiples, so use 128/256/384/512); kernel time is
+    # proportional to V * subwin, and the solver warns if a band ever drops
+    # a neighbor — see ops/pallas_conv module docstring
+    pallas_subwin: Sequence[int] = (384, 512, 384, 384, 128)
+    pallas_subwin_inst: Sequence[int] = (384, 384, 384, 384, 256)
+    pallas_count_drops: bool = True
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"
@@ -120,7 +126,18 @@ class Config:
             pallas_conv=use_pallas,
             pallas_chunk=self.pallas_chunk,
             pallas_window=self.pallas_window,
-            pallas_subwin=self.pallas_subwin,
+            pallas_subwin=(
+                self.pallas_subwin
+                if isinstance(self.pallas_subwin, int)
+                else tuple(self.pallas_subwin)
+            ),
+            pallas_subwin_inst=(
+                self.pallas_subwin_inst
+                if isinstance(self.pallas_subwin_inst, int)
+                or self.pallas_subwin_inst is None
+                else tuple(self.pallas_subwin_inst)
+            ),
+            pallas_count_drops=self.pallas_count_drops,
         )
 
     # ---- reference path tree (lib/config.py:34-70)

@@ -41,13 +41,32 @@ class BatchSpec:
     inst_caps: Sequence[int] = (4096, 2048, 1024, 512, 256)
     num_classes: int = 18
     feat_dim: int = 7  # xyz + rgb + height (train.py:74-75 channel arithmetic)
-    # banded Pallas submanifold conv (eval path): requires raster-sorted
-    # voxels; window params per ops/pallas_conv.windowed_gather_conv
-    # (measured exact with zero dropped neighbors on ScanRefer-scale scenes)
+    # banded Pallas submanifold conv (train + eval path): requires
+    # raster-sorted voxels; window params per
+    # ops/pallas_conv.windowed_gather_conv.  Kernel time is proportional to
+    # V * subwin (the gather matmul runs at MXU peak) and the MXU lane-pads
+    # subwin to 128 multiples, so only {128, 256, 384, 512} are meaningful.
+    # Defaults are the smallest multiple of 128 at least 16 rows above the
+    # measured per-offset band minima on ScanRefer-scale scenes at chunk 256
+    # (scene: 368/416/352/304/64 per stage, instance: 288/320/320/304/160);
+    # any neighbor a band still misses is counted (pallas_count_drops) and
+    # reported by the solver alongside capacity overflows.
     pallas_conv: bool = False
     pallas_chunk: int = 256
-    pallas_window: int = 2048
-    pallas_subwin: int = 512
+    pallas_window: int = 1024
+    pallas_subwin: Sequence[int] = (384, 512, 384, 384, 128)
+    pallas_subwin_inst: Sequence[int] = (384, 384, 384, 384, 256)
+    pallas_count_drops: bool = True
+
+    def subwin_for(self, stage: int, prefix: str = "scene") -> int:
+        prof = (
+            self.pallas_subwin_inst
+            if prefix == "inst" and self.pallas_subwin_inst is not None
+            else self.pallas_subwin
+        )
+        if isinstance(prof, int):
+            return prof
+        return prof[min(stage, len(prof) - 1)]
 
     def scaled(self, factor: float) -> "BatchSpec":
         """Shrink capacities (e.g. for tests) keeping structure."""
@@ -317,6 +336,8 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
         from instancerefer_tpu.ops.voxelize import compute_offset_window_starts
 
         stages = []
+        dropped = total = 0
+        prev_v = 0
         for s in range(spec.num_stages):
             nbr3 = batch[f"{prefix}_nbr3_{s}"]
             down = (
@@ -324,19 +345,37 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                 if s > 0
                 else np.zeros((nbr3.shape[0], 0), np.int32)
             )
+            up_row = up_k = None
+            if s > 0:
+                # invert the (non-overlapping) stride-2 map: previous-stage
+                # row -> (this-stage row, offset); -1 = feeds nothing.  Turns
+                # the down-conv backward into a gather (down_gather_conv).
+                up_row = np.full(prev_v, -1, np.int32)
+                up_k = np.full(prev_v, -1, np.int32)
+                vv, kk = np.nonzero(down >= 0)
+                tgt = down[vv, kk]
+                up_row[tgt] = vv.astype(np.int32)
+                up_k[tgt] = kk.astype(np.int32)
+            prev_v = nbr3.shape[0]
             owner = batch[f"{prefix}_owner_{s}"]
             ws3 = wsk3 = None
             v = nbr3.shape[0]
+            subwin = spec.subwin_for(s, prefix)
             if (
                 spec.pallas_conv
                 and v % spec.pallas_chunk == 0
-                and (v // spec.pallas_chunk) % 8 == 0  # wsk VMEM blocking
                 and v >= spec.pallas_window
             ):
-                ws3, wsk3 = compute_offset_window_starts(
+                res = compute_offset_window_starts(
                     nbr3, spec.pallas_chunk, spec.pallas_window,
-                    spec.pallas_subwin, v,
+                    subwin, v, count_drops=spec.pallas_count_drops,
                 )
+                if spec.pallas_count_drops:
+                    ws3, wsk3, d, t = res
+                    dropped += d
+                    total += t
+                else:
+                    ws3, wsk3 = res
             stages.append(
                 SparseStage(
                     coords=batch[f"{prefix}_coords_{s}"],
@@ -347,13 +386,20 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     stride=1 << s,
                     ws3=ws3,
                     wsk3=wsk3,
+                    up_row=up_row,
+                    up_k=up_k,
                     pallas_chunk=spec.pallas_chunk if ws3 is not None else 0,
                     pallas_window=spec.pallas_window if ws3 is not None else 0,
-                    pallas_subwin=spec.pallas_subwin if ws3 is not None else 0,
+                    pallas_subwin=subwin if ws3 is not None else 0,
                 )
             )
-        return tuple(stages)
+        return tuple(stages), np.float32(dropped / max(total, 1))
 
-    dd["scene_pyramid"] = pyramid("scene")
-    dd["inst_pyramid"] = pyramid("inst")
+    dd["scene_pyramid"], scene_bd = pyramid("scene")
+    dd["inst_pyramid"], inst_bd = pyramid("inst")
+    if spec.pallas_conv and spec.pallas_count_drops:
+        # batch-level host diagnostics; the solver reads + pops these before
+        # device placement (a 0-d leaf cannot shard over the data axis)
+        dd["scene_band_drop"] = scene_bd
+        dd["inst_band_drop"] = inst_bd
     return dd

@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from instancerefer_tpu.ops.sparse import SparseStage, gather_conv, subm_gather_conv
+from instancerefer_tpu.ops.sparse import (
+    SparseStage,
+    down_gather_conv,
+    gather_conv,
+    subm_gather_conv,
+)
 
 
 def torch_uniform(fan_in: int):
@@ -154,7 +159,9 @@ class DownConv2(nn.Module):
     def __call__(self, feats_prev: jnp.ndarray, sv: SparseStage) -> jnp.ndarray:
         cin = feats_prev.shape[-1]
         kernel = self.param("kernel", _conv_init(8, cin), (8, cin, self.features))
-        return gather_conv(feats_prev, sv.down, kernel)
+        # inverse-map custom VJP: the stride-2 backward is a gather, not
+        # XLA's scatter-add (ops/sparse.down_gather_conv)
+        return down_gather_conv(feats_prev, sv.down, sv.up_row, sv.up_k, kernel)
 
 
 class BasicConvolutionBlock(nn.Module):

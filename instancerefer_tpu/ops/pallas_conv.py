@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: windowed gather-GEMM sparse convolution.
+"""Pallas TPU kernels: banded windowed gather-GEMM sparse convolution.
 
 Why: XLA lowers a row-gather from an HBM-resident [V, C] table to one
 (8,128)-tile fetch (~4 KB) per row, so a 27-offset submanifold conv pays
@@ -9,15 +9,32 @@ This kernel exploits spatial locality instead: the host raster-sorts voxels
 (``ops/voxelize.quantize(raster_order=True)``), so all neighbors of a
 contiguous chunk of output rows live in a bounded window of input rows.  Per
 chunk, ONE contiguous window DMA (full HBM bandwidth) brings the working set
-into VMEM; the per-offset gathers become VMEM-local ``jnp.take`` (VPU sublane
-gathers) feeding MXU GEMM accumulation.  Windows are double-buffered: chunk
-i+1's DMA overlaps chunk i's compute.
+into VMEM; each offset's gather is a one-hot matmul over a per-offset
+sub-band of the window (``subwin`` rows) — the MXU eats the
+[chunk, subwin] @ [subwin, C] contraction, and the one-hot never leaves
+VMEM/VREGs.  Windows are double-buffered: chunk i+1's DMA overlaps chunk i's
+compute.
 
-Host contract (``ops/voxelize.compute_window_starts``): for chunk i, valid
-``nbr`` entries lie in [window_start[i], window_start[i] + window).  Entries
-outside (possible only for pathological geometry or capacity-overflow
-truncation) are treated as empty neighbors — the same policy as the padded
-XLA path.
+Measured design notes (TPU v5e, batch 32 production shapes):
+* The gather matmul runs at ~MXU peak: ablating the one-hot construction
+  changes nothing (Mosaic fuses the iota-compare into operand generation),
+  and stacking G offsets' one-hots into one tall [G*chunk, subwin] matmul
+  (M=2304) is not faster.  Kernel time is therefore ∝ V * subwin * K —
+  per-stage band geometry (ops/voxelize.compute_offset_window_starts) is the
+  lever, not MXU shaping.
+* ``wsk`` lives in SMEM, transposed to [K, n_chunks] so the (large) chunk
+  axis is the lane axis — scalar-prefetch would lane-pad a [n_chunks, K]
+  layout's K axis to 128 and overflow SMEM on big stages.  SMEM scalar reads
+  beat VMEM ones by ~4-13% of whole-kernel time (27 reads/chunk).
+* chunk=256 beats 128 (small-M matmuls underfill the MXU pipeline) and 512
+  (subwin must grow by the extra chunk rows; net loss).
+
+Host contract (``ops/voxelize.compute_offset_window_starts``): for chunk i,
+valid ``nbr`` entries lie in [window_start[i], window_start[i] + window), and
+per offset k within [wsk[k, i], wsk[k, i] + subwin).  Entries outside
+(possible only for pathological geometry or capacity-overflow truncation)
+are treated as empty neighbors — the same policy as the padded XLA path; the
+host can count them (``count_drops=True``) for observability.
 """
 
 from __future__ import annotations
@@ -32,12 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(
-    ws_ref, wsk_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
+    ws_ref, wskt_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
     *, chunk, window, subwin, k_offsets, out_dtype,
 ):
     # ws_ref: scalar-prefetched [n_chunks] (drives the window DMA);
-    # wsk_ref: VMEM-blocked [1, K] per-offset band starts (SMEM lane-pads the
-    # K axis to 128, which overflows SMEM for small chunks on big stages).
+    # wskt_ref: scalar-prefetched [K, n_chunks] per-offset band starts.
     i = pl.program_id(0)
     n_chunks = pl.num_programs(0)
 
@@ -72,7 +88,7 @@ def _conv_kernel(
         # raster-sorted chunk are nearly monotone, so they fit a band of
         # ~chunk + halo rows.  The host clamps wsk into
         # [ws, ws + window - subwin] and aligns it to 16.
-        base = wsk_ref[i % 8, k]
+        base = wskt_ref[k, i]
         off = pl.multiple_of(base - ws, 16)
         sub = win[slot, pl.ds(off, subwin), :]  # [subwin, C] ref read
         g_idx = nbr_ref[:, k]
@@ -116,9 +132,9 @@ def windowed_gather_conv(
       kernel: [K, C, Cout] weights (resident in VMEM).
       window_start: [V_out // chunk] int32 host-computed window origins,
         each in [0, V_in - window], 16-aligned.
-      offset_window_start: [V_out // chunk, K] int32 per-offset sub-window
-        origins, each in [ws, ws + window - subwin], 16-aligned.  Defaults to
-        broadcasting window_start with subwin = window.
+      offset_window_start: [K, V_out // chunk] int32 per-offset sub-window
+        origins (transposed for SMEM), each in [ws, ws + window - subwin],
+        16-aligned.  Defaults to broadcasting window_start, subwin = window.
       window: static window length (rows) — the per-chunk DMA size.
       subwin: static per-offset one-hot width (the banded-gather optimization).
     """
@@ -128,7 +144,7 @@ def windowed_gather_conv(
     if subwin is None:
         subwin = window
     if offset_window_start is None:
-        offset_window_start = jnp.broadcast_to(window_start[:, None], (n_chunks, k))
+        offset_window_start = jnp.broadcast_to(window_start[None, :], (k, n_chunks))
 
     # HBM DMA slices must be 128-lane aligned: pad channels to 128 multiples
     # (zero lanes are free wrt the one-hot matmul's result).
@@ -143,17 +159,14 @@ def windowed_gather_conv(
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cout_pad - cout)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # window_start
+        num_scalar_prefetch=2,  # window_start, offset_window_start (SMEM)
         grid=(n_chunks,),
         in_specs=[
-            # wsk in VMEM, 8 chunks per block (sublane-divisibility rule);
-            # the kernel indexes row i % 8
-            pl.BlockSpec((8, k), lambda i, ws: (i // 8, 0)),
-            pl.BlockSpec((chunk, k), lambda i, ws: (i, 0)),  # nbr
+            pl.BlockSpec((chunk, k), lambda i, ws, wskt: (i, 0)),  # nbr
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, fully resident
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay off-chip
+            pl.BlockSpec(memory_space=pl.ANY),  # feats stay off-chip
         ],
-        out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws: (i, 0)),
+        out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws, wskt: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window, cin_pad), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -174,19 +187,24 @@ def windowed_gather_conv(
 
 
 # ---------------------------------------------------------------------------
-# Banded backward kernels: dW band-reduction + the mirrored-gather dX
+# Fused banded backward: one mirrored-gather pass produces BOTH dX and dW
 # ---------------------------------------------------------------------------
 
 
-def _dw_kernel(
-    ws_ref, wsk_ref, nbr_ref, g_ref, feats_hbm, out_ref, win, sem,
+def _bwd_fused_kernel(
+    ws_ref, wskt_ref, nbr_ref, x_ref, wt_ref, g_hbm, dx_ref, dw_ref, win, sem,
     *, chunk, window, subwin, k_offsets,
 ):
-    """dW[k] = sum over chunks of gathered_x_k^T @ g_chunk.
+    """One pass over the mirrored gather produces BOTH dX and dW.
 
-    Same window DMA + banded one-hot gather as the forward kernel; the output
-    block index is constant across the grid, so out_ref accumulates in VMEM
-    over the (sequential) chunk iterations.
+    By the mirror identity (nbr(v,k)=u <=> nbr(u,K-1-k)=v):
+      dX[u]      = sum_k' g[nbr(u,k')] @ W[K-1-k']^T          (rows_g @ wt[k'])
+      dW[K-1-k'] = sum_u  x[u]^T g[nbr(u,k')]                 (x_chunk^T @ rows_g)
+    so the expensive banded one-hot gather of g (rows_g) is shared — half the
+    MXU gather work and half the window DMA traffic of running a dX and a dW
+    kernel separately.  ``x_ref`` is the chunk's own input rows (a plain
+    blocked input — no gather needed on the dW side).  ``dw_ref``'s block
+    index is constant across the (sequential) grid, so it accumulates in VMEM.
     """
     i = pl.program_id(0)
     n_chunks = pl.num_programs(0)
@@ -194,13 +212,13 @@ def _dw_kernel(
     def dma(slot, chunk_idx):
         start = pl.multiple_of(ws_ref[chunk_idx], 16)
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start, window), :], win.at[slot], sem.at[slot]
+            g_hbm.at[pl.ds(start, window), :], win.at[slot], sem.at[slot]
         )
 
     @pl.when(i == 0)
     def _():
         dma(0, 0).start()
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
     @pl.when(i + 1 < n_chunks)
     def _():
@@ -210,33 +228,39 @@ def _dw_kernel(
     slot = i % 2
     ws = ws_ref[i]
     dtype = win.dtype
-    g = g_ref[...].astype(dtype)  # [chunk, Cout]
+    x = x_ref[...].astype(dtype)  # [chunk, Cin]
+    cin = x_ref.shape[-1]
+    acc = jnp.zeros((chunk, cin), jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
     for k in range(k_offsets):
-        base = wsk_ref[i % 8, k]
+        base = wskt_ref[k, i]
         off = pl.multiple_of(base - ws, 16)
-        sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cin]
+        sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cout]
         g_idx = nbr_ref[:, k]
         local = g_idx - base
         valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
         safe = jnp.where(valid, local, -1)
         oh = (col == safe[:, None]).astype(dtype)
-        rows = jnp.dot(oh, sub, preferred_element_type=jnp.float32)  # [chunk, Cin]
+        rows_g = jnp.dot(oh, sub, preferred_element_type=jnp.float32)  # [chunk, Cout]
+        rg = rows_g.astype(dtype)
+        acc = acc + jnp.dot(rg, wt_ref[k], preferred_element_type=jnp.float32)
         contrib = jax.lax.dot_general(
-            rows.astype(dtype), g,
+            x, rg,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Cin, Cout]
-        out_ref[k, :, :] += contrib
+        dw_ref[k_offsets - 1 - k, :, :] += contrib
+    dx_ref[:] = acc.astype(dx_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("window", "chunk", "subwin", "interpret")
 )
-def windowed_conv_dw(
+def windowed_conv_bwd_fused(
     feats: jnp.ndarray,
     nbr: jnp.ndarray,
     g: jnp.ndarray,
+    w_t: jnp.ndarray,
     window_start: jnp.ndarray,
     offset_window_start: jnp.ndarray,
     *,
@@ -244,8 +268,15 @@ def windowed_conv_dw(
     chunk: int,
     subwin: int,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """dW[k] = sum_v feats[nbr[v, k]]^T g[v] (banded).  Returns [K, Cin, Cout] f32."""
+):
+    """(dX [V, Cin] f32, dW [K, Cin, Cout] f32) in one banded pass.
+
+    Args:
+      feats: [V, Cin] the conv's own input rows (read per-chunk, not gathered).
+      g:     [V, Cout] upstream cotangent (the windowed-DMA gather table).
+      w_t:   [K, Cout, Cin] mirrored-transposed weights, w_t[k] = W[K-1-k]^T.
+      offset_window_start: [K, V // chunk] (transposed for SMEM).
+    """
     v_out, k = nbr.shape
     assert v_out % chunk == 0, (v_out, chunk)
     n_chunks = v_out // chunk
@@ -255,34 +286,50 @@ def windowed_conv_dw(
     cout_pad = -(-cout // 128) * 128
     if cin_pad != cin:
         feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
+        w_t = jnp.pad(w_t, ((0, 0), (0, 0), (0, cin_pad - cin)))
     if cout_pad != cout:
         g = jnp.pad(g, ((0, 0), (0, cout_pad - cout)))
+        w_t = jnp.pad(w_t, ((0, 0), (0, cout_pad - cout), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((8, k), lambda i, ws: (i // 8, 0)),  # wsk
-            pl.BlockSpec((chunk, k), lambda i, ws: (i, 0)),  # nbr
-            pl.BlockSpec((chunk, cout_pad), lambda i, ws: (i, 0)),  # g
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feats in HBM
+            pl.BlockSpec((chunk, k), lambda i, ws, wskt: (i, 0)),  # nbr
+            pl.BlockSpec((chunk, cin_pad), lambda i, ws, wskt: (i, 0)),  # feats
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_t, fully resident
+            pl.BlockSpec(memory_space=pl.ANY),  # g in HBM
         ],
-        out_specs=pl.BlockSpec((k, cin_pad, cout_pad), lambda i, ws: (0, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((chunk, cin_pad), lambda i, ws, wskt: (i, 0)),  # dX
+            pl.BlockSpec(
+                (k, cin_pad, cout_pad), lambda i, ws, wskt: (0, 0, 0)
+            ),  # dW
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, window, cin_pad), feats.dtype),
+            pltpu.VMEM((2, window, cout_pad), g.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     fn = pl.pallas_call(
         functools.partial(
-            _dw_kernel, chunk=chunk, window=window, subwin=subwin, k_offsets=k
+            _bwd_fused_kernel, chunk=chunk, window=window, subwin=subwin,
+            k_offsets=k,
         ),
-        out_shape=jax.ShapeDtypeStruct((k, cin_pad, cout_pad), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((v_out, cin_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, cin_pad, cout_pad), jnp.float32),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
     )
-    out = fn(window_start, offset_window_start, nbr, g, feats)
-    return out[:, :cin, :cout]
+    dx, dw = fn(window_start, offset_window_start, nbr, feats, w_t, g)
+    if cin_pad != cin:
+        dx = dx[:, :cin]
+        dw = dw[:, :cin, :]
+    if cout_pad != cout:
+        dw = dw[:, :, :cout]
+    return dx, dw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -304,29 +351,26 @@ def _banded_fwd(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk):
 def _banded_bwd(window, chunk, subwin, interpret, res, g):
     """Banded backward for the symmetric submanifold conv.
 
-    dX reuses the forward kernel via the mirrored-offset identity
-    (nbr(i,k)=j <=> nbr(j,26-k)=i, see ops/sparse._subm_conv_bwd): gathering g
-    over the SAME nbr map with mirror-transposed weights IS dX — and the
-    band metadata applies unchanged because the access pattern is identical.
-    dW is the banded band-reduction kernel above.
+    The fused kernel gathers g once per offset via the mirrored-offset
+    identity (nbr(i,k)=j <=> nbr(j,26-k)=i, see ops/sparse._subm_conv_bwd)
+    and emits both dX and dW — the band metadata applies unchanged because
+    the access pattern is identical to the forward's.
 
     Exactness caveat: gradients are exact for the function the banded forward
     actually computes.  When bands cover every neighbor (the measured case —
-    zero drops at production geometry), that function equals the dense conv.
+    zero drops at production geometry, counted by the host when
+    ``count_drops`` is on), that function equals the dense conv.
     """
     feats, nbr, kernel, ws, wsk = res
-    g32 = g.astype(jnp.float32)
     from instancerefer_tpu.ops.precision import cast_in
 
-    gc = cast_in(g32)
+    gc = cast_in(g.astype(jnp.float32))
     w_t = jnp.transpose(cast_in(kernel)[::-1], (0, 2, 1))  # w_t[k] = W[K-1-k]^T
-    dx = _banded_core(window, chunk, subwin, interpret, gc, nbr, w_t, ws, wsk)
-    dx = dx.astype(feats.dtype)
-    dw = windowed_conv_dw(
-        cast_in(feats), nbr, gc, ws, wsk,
+    dx, dw = windowed_conv_bwd_fused(
+        cast_in(feats), nbr, gc, w_t, ws, wsk,
         window=window, chunk=chunk, subwin=subwin, interpret=interpret,
-    ).astype(kernel.dtype)
-    return dx, None, dw, None, None
+    )
+    return dx.astype(feats.dtype), None, dw.astype(kernel.dtype), None, None
 
 
 _banded_core.defvjp(_banded_fwd, _banded_bwd)
@@ -347,6 +391,7 @@ def banded_subm_conv(
     """Differentiable banded 3^3 submanifold conv (train + eval path).
 
     Requires a symmetric-offset same-coordinate map (``nbr3``) with banded
-    window metadata from ``ops/voxelize.compute_offset_window_starts``.
+    window metadata from ``ops/voxelize.compute_offset_window_starts``
+    (``wsk`` in its transposed [K, n_chunks] SMEM layout).
     """
     return _banded_core(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk)

@@ -54,9 +54,15 @@ class SparseStage:
       down:   [V, 8] int32 previous-stage map for 2^3 stride-2 conv
         (-1 = empty).  [V, 0] placeholder on the base stage.
       stride: static python int tensor stride (1, 2, 4, 8, 16).
-      ws3/wsk3: optional window origins ([n_chunks] / [n_chunks, 27]) for the
+      ws3/wsk3: optional window origins ([n_chunks] / [27, n_chunks],
+        transposed for the kernels' SMEM scalar-prefetch layout) for the
         banded Pallas submanifold conv (ops/pallas_conv); None selects the
         XLA gather-GEMM path.
+      up_row/up_k: optional [V_prev] inverse of ``down`` (the stride-2 map is
+        non-overlapping, so each previous-stage row feeds at most one
+        (row, offset) here): the output row / offset that previous-stage row
+        feeds, -1 if none.  Drives the scatter-free down-conv backward
+        (ops/sparse.down_gather_conv).
     """
 
     coords: jnp.ndarray
@@ -67,6 +73,8 @@ class SparseStage:
     stride: int = struct.field(pytree_node=False, default=1)
     ws3: Optional[jnp.ndarray] = None
     wsk3: Optional[jnp.ndarray] = None
+    up_row: Optional[jnp.ndarray] = None
+    up_k: Optional[jnp.ndarray] = None
     # static banded-conv geometry (must match what the pipeline used when
     # computing ws3/wsk3); 0 = unset
     pallas_chunk: int = struct.field(pytree_node=False, default=0)
@@ -185,10 +193,79 @@ def subm_gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, kernel: jnp.ndarray):
     """3^3 submanifold conv with the fast mirrored-gather backward.
 
     Requires a symmetric-offset same-coordinate map (``nbr3`` of a
-    SparseStage).  Down-sampling maps are NOT symmetric — use ``gather_conv``
-    (plain autodiff) for those.
+    SparseStage).  Down-sampling maps are NOT symmetric — use
+    ``down_gather_conv`` (inverse-map backward) for those.
     """
     return _subm_conv_core(feats, nbr, kernel)
+
+
+@jax.custom_vjp
+def _down_conv_core(feats, down, up_row, up_k, kernel):
+    return gather_conv(feats, down, kernel)
+
+
+def _down_conv_fwd(feats, down, up_row, up_k, kernel):
+    return gather_conv(feats, down, kernel), (feats, down, up_row, up_k, kernel)
+
+
+def _down_conv_bwd(res, g):
+    """Scatter-free backward for the stride-2 2^3 down-conv.
+
+    The 2^3/stride-2 kernel map is NON-overlapping: every input row feeds at
+    most one (output row, offset) pair, so its transpose is a host-invertible
+    permutation — ``up_row[u]`` is the output row input u feeds (-1 if none)
+    and ``up_k[u]`` its offset.  Hence
+
+        dX[u] = g[up_row[u]] @ W[up_k[u]]^T
+
+    ONE plain row-gather (tmp = g[up_row]) serves both outputs — the same
+    inverse-map substitution u = down(v, k) rewrites dW as
+
+        dW[k] = sum_v x[down(v,k)]^T g[v] = x^T @ (tmp ⊙ [up_k == k])
+
+    so the backward is 1 gather + 2K masked GEMMs, where XLA autodiff would
+    emit K scatter-adds and the naive dW another K gathers (both measured
+    several times slower than this on TPU).
+    """
+    feats, down, up_row, up_k, kernel = res
+    g32 = g.astype(jnp.float32)
+    gc = cast_in(g32)
+    k = kernel.shape[0]
+    tmp = gather_rows(gc, up_row)  # [V_in, Cout]
+    w_t = jnp.transpose(cast_in(kernel), (0, 2, 1))  # [K, Cout, Cin]
+    xc = cast_in(feats)
+    dx = jnp.zeros((feats.shape[0], kernel.shape[1]), jnp.float32)
+    dws = []
+    for i in range(k):
+        sel = (up_k == i)[:, None].astype(tmp.dtype)
+        tsel = tmp * sel
+        dx = dx + jnp.dot(tsel, w_t[i], preferred_element_type=jnp.float32)
+        dws.append(
+            jnp.einsum("vc,vd->cd", xc, tsel, preferred_element_type=jnp.float32)
+        )
+    dw = jnp.stack(dws).astype(kernel.dtype)
+    return dx.astype(feats.dtype), None, None, None, dw
+
+
+_down_conv_core.defvjp(_down_conv_fwd, _down_conv_bwd)
+
+
+def down_gather_conv(
+    feats: jnp.ndarray,
+    down: jnp.ndarray,
+    up_row: jnp.ndarray,
+    up_k: jnp.ndarray,
+    kernel: jnp.ndarray,
+):
+    """2^3 stride-2 conv with the inverse-map (scatter-free) backward.
+
+    ``up_row``/``up_k`` come from the host pipeline
+    (``data/pipeline.batch_to_device_dict``), which inverts the batch's
+    ``down`` map.  Falls back to ``gather_conv`` when they are absent.
+    """
+    if up_row is None or up_k is None:
+        return gather_conv(feats, down, kernel)
+    return _down_conv_core(feats, down, up_row, up_k, kernel)
 
 
 def masked_global_max_pool(

@@ -172,14 +172,28 @@ def compute_window_starts(
 
 
 def compute_offset_window_starts(
-    nbr: np.ndarray, chunk: int, window: int, subwin: int, v_in: int, align: int = 16
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(window_start [n], offset_window_start [n, K]) for the banded conv.
+    nbr: np.ndarray,
+    chunk: int,
+    window: int,
+    subwin: int,
+    v_in: int,
+    align: int = 16,
+    count_drops: bool = False,
+):
+    """(window_start [n], offset_window_start [K, n]) for the banded conv.
 
     Per-offset neighbor indices over raster-sorted chunks are nearly monotone,
     so each offset k fits a sub-window of ``subwin`` rows starting at its own
     (aligned) minimum; sub-windows are clamped inside the chunk's global
     window.  ``window`` and ``subwin`` must be multiples of ``align``.
+
+    The offset-window array is returned TRANSPOSED ([K, n_chunks]) — the
+    kernels keep it in SMEM, and scalar prefetch lane-pads the minor axis to
+    128, which would overflow SMEM with K (=27) minor on large stages.
+
+    With ``count_drops=True`` also returns (dropped, total): how many valid
+    neighbor entries fall outside their offset's sub-window (the kernel
+    treats those as empty — a silent numeric deviation worth observing).
     """
     v_out, k = nbr.shape
     n = v_out // chunk
@@ -195,7 +209,15 @@ def compute_offset_window_starts(
     lo_k = np.where(lo_k == big, ws[:, None], lo_k)
     wsk = (lo_k // align) * align
     wsk = np.clip(wsk, ws[:, None], (ws + window - subwin)[:, None]).astype(np.int32)
-    return ws, wsk
+    wsk_t = np.ascontiguousarray(wsk.T)
+    if not count_drops:
+        return ws, wsk_t
+    valid = blk >= 0
+    local = blk - wsk[:, None, :]
+    ok = valid & (local >= 0) & (local < subwin)
+    total = int(valid.sum())
+    dropped = total - int(ok.sum())
+    return ws, wsk_t, dropped, total
 
 
 def _lookup(sorted_keys: np.ndarray, order: np.ndarray, query_keys: np.ndarray) -> np.ndarray:

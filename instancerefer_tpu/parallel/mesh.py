@@ -46,13 +46,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
     """Place a (numpy or jnp) batch pytree onto the mesh, sharded on dim 0.
 
+    Exception: banded-conv offset-window metadata (``SparseStage.wsk3``) is
+    stored transposed as [K, n_chunks] for the kernels' SMEM layout — its
+    batch-divisible axis is axis 1, so it shards as P(None, "data").
+
     Without a mesh the batch is still device_put (asynchronously) so that
     prefetching overlaps host->device transfer with compute.
     """
     if mesh is None:
         return jax.device_put(batch)
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    sh_t = NamedSharding(mesh, P(None, "data"))
+
+    def place(path, x):
+        transposed = any(
+            getattr(p, "name", None) == "wsk3" for p in path
+        )
+        return jax.device_put(x, sh_t if transposed else sh)
+
+    return jax.tree_util.tree_map_with_path(place, batch)
 
 
 def host_shard_indices(num_samples: int, *, process_index=None, process_count=None):

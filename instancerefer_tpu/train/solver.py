@@ -180,6 +180,13 @@ class Solver:
 
     # ------------------------------------------------------------------ setup
     def init_params(self, example_batch):
+        # drop host-side diagnostics so the init/example structure matches
+        # the batches _device_prefetch feeds (it pops these before sharding)
+        example_batch = {
+            k: v
+            for k, v in example_batch.items()
+            if k not in ("scene_band_drop", "inst_band_drop")
+        }
         batch = shard_batch(example_batch, self.mesh)
         self.rng, k1, k2 = jax.random.split(self.rng, 3)
         # jit the init: eager init compiles each op separately, which is
@@ -295,6 +302,15 @@ class Solver:
                     if isinstance(so, np.ndarray):  # still host-side
                         overflow_log["scene"].append(float(so.mean()))
                         overflow_log["inst"].append(float(io_.mean()))
+                # banded-conv neighbor drops: batch-level host scalars; popped
+                # (not fed) — a 0-d leaf cannot shard over the data axis
+                bd = [
+                    float(nxt.pop(k))
+                    for k in ("scene_band_drop", "inst_band_drop")
+                    if k in nxt
+                ]
+                if overflow_log is not None and bd:
+                    overflow_log.setdefault("band", []).append(max(bd))
                 queue.append(shard_batch(nxt, self.mesh))
             if not queue:
                 return
@@ -315,6 +331,14 @@ class Solver:
                 f"(scene mean {so:.1%} / max {so_max:.1%}, instance mean "
                 f"{io_:.1%} / max {io_max:.1%}) — raise scene_caps/inst_caps "
                 f"in the TPU config section to avoid dropped voxels"
+            )
+        band = overflow_log.get("band", [])
+        if band and max(band) > 0:
+            self._log(
+                f"WARNING: [{phase}] banded Pallas conv dropped neighbors "
+                f"(batch max {max(band):.3%} of entries) — raise "
+                f"pallas_subwin (per stage) in the TPU config section for "
+                f"exact convolutions"
             )
 
     def _feed(self, loader, phase, epoch_id, bn_momentum: float = 0.1):

@@ -75,7 +75,10 @@ def test_banded_subwindows_match_xla(rng):
     feats = rng.normal(size=(v, 32)).astype(np.float32)
     kernel = (rng.normal(size=(27, 32, 32)) * 0.1).astype(np.float32)
     chunk, window, subwin = 128, 512, 256
-    ws, wsk = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    ws, wsk_t, dropped, total = V.compute_offset_window_starts(
+        nbr, chunk, window, subwin, v, count_drops=True
+    )
+    wsk = wsk_t.T  # stored transposed ([K, n]) for the kernels' SMEM layout
     assert (wsk % 16 == 0).all()
     assert (wsk >= ws[:, None]).all()
     assert (wsk <= (ws + window - subwin)[:, None]).all()
@@ -85,12 +88,13 @@ def test_banded_subwindows_match_xla(rng):
     hi_k = blk.max(axis=1)
     covered = (hi_k < wsk + subwin) | (hi_k < 0)
     assert covered.all()
+    assert dropped == 0 and total == int((nbr >= 0).sum())
 
     ref = np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel)))
     got = np.asarray(
         windowed_gather_conv(
             jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel),
-            jnp.asarray(ws), jnp.asarray(wsk),
+            jnp.asarray(ws), jnp.asarray(wsk_t),
             window=window, chunk=chunk, subwin=subwin, interpret=True,
         )
     )
@@ -111,8 +115,8 @@ def test_banded_vjp_matches_xla_grads(rng):
     kernel = (rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32)
     cot = rng.normal(size=(v, cout)).astype(np.float32)
     chunk, window, subwin = 128, 512, 256
-    ws, wsk = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
-    jnbr, jws, jwsk, jcot = map(jnp.asarray, (nbr, ws, wsk, cot))
+    ws, wsk_t = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    jnbr, jws, jwsk, jcot = map(jnp.asarray, (nbr, ws, wsk_t, cot))
 
     def loss_ref(f, k):
         return jnp.sum(gather_conv(f, jnbr, k) * jcot)

@@ -94,6 +94,45 @@ def test_subm_conv_custom_vjp_matches_autodiff(rng):
     )
 
 
+def test_down_conv_custom_vjp_matches_autodiff(rng):
+    """The inverse-map (scatter-free) down-conv backward must equal XLA's
+    scatter-based autodiff of the same forward."""
+    import jax
+
+    from instancerefer_tpu.ops.sparse import down_gather_conv
+
+    coords = np.unique(rng.integers(0, 8, size=(200, 3)).astype(np.int32), axis=0)
+    _, down = V.build_downsample(coords, stride=1)
+    down = jnp.asarray(down)
+    # host inversion mirroring data/pipeline.batch_to_device_dict
+    up_row = np.full(len(coords), -1, np.int32)
+    up_k = np.full(len(coords), -1, np.int32)
+    vv, kk = np.nonzero(np.asarray(down) >= 0)
+    tgt = np.asarray(down)[vv, kk]
+    up_row[tgt] = vv.astype(np.int32)
+    up_k[tgt] = kk.astype(np.int32)
+    # the stride-2 map must be non-overlapping for the inversion to be exact
+    assert len(tgt) == len(np.unique(tgt))
+    up_row, up_k = jnp.asarray(up_row), jnp.asarray(up_k)
+
+    x = jnp.asarray(rng.normal(size=(len(coords), 16)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(8, 16, 8)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(down.shape[0], 8)).astype(np.float32))
+
+    ref = jax.grad(lambda x, w: jnp.vdot(gather_conv(x, down, w), g), argnums=(0, 1))(x, w)
+    got = jax.grad(
+        lambda x, w: jnp.vdot(down_gather_conv(x, down, up_row, up_k, w), g),
+        argnums=(0, 1),
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(down_gather_conv(x, down, up_row, up_k, w)),
+        np.asarray(gather_conv(x, down, w)),
+        rtol=1e-6,
+    )
+
+
 def test_masked_global_max_pool(rng):
     feats = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
     owner = jnp.array([0, 0, 2, 2, 2, -1, -1, 1, 1, 0])
