@@ -52,7 +52,8 @@ def _conv_kernel(
     ws_ref, wskt_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
     *, chunk, window, subwin, k_offsets, out_dtype,
 ):
-    # ws_ref: scalar-prefetched [n_chunks] (drives the window DMA);
+    # ws_ref: scalar-prefetched [n_chunks] (drives the window DMA; -1 marks a
+    # fully-empty padding chunk — skipped entirely, zero output);
     # wskt_ref: scalar-prefetched [K, n_chunks] per-offset band starts.
     i = pl.program_id(0)
     n_chunks = pl.num_programs(0)
@@ -67,44 +68,51 @@ def _conv_kernel(
             sem.at[slot],
         )
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (ws_ref[0] >= 0))
     def _():
         dma(0, 0).start()
 
-    @pl.when(i + 1 < n_chunks)
+    @pl.when((i + 1 < n_chunks) & (ws_ref[jnp.minimum(i + 1, n_chunks - 1)] >= 0))
     def _():
         dma((i + 1) % 2, i + 1).start()
 
-    dma(i % 2, i).wait()
-    slot = i % 2
-    ws = ws_ref[i]
+    @pl.when(ws_ref[i] < 0)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    cout = w_ref.shape[-1]
-    acc = jnp.zeros((chunk, cout), jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
-    dtype = win.dtype
-    for k in range(k_offsets):
-        # Per-offset sub-window: each offset's neighbor indices over a
-        # raster-sorted chunk are nearly monotone, so they fit a band of
-        # ~chunk + halo rows.  The host clamps wsk into
-        # [ws, ws + window - subwin] and aligns it to 16.
-        base = wskt_ref[k, i]
-        off = pl.multiple_of(base - ws, 16)
-        sub = win[slot, pl.ds(off, subwin), :]  # [subwin, C] ref read
-        g_idx = nbr_ref[:, k]
-        local = g_idx - base
-        valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
-        safe = jnp.where(valid, local, -1)
-        # The gather is a one-hot matmul: Mosaic's native dynamic_gather is
-        # limited to one vreg of sublanes, but the MXU eats a
-        # [chunk, subwin] @ [subwin, C] contraction for breakfast — and the
-        # one-hot never leaves VMEM/VREGs.  Invalid rows get all-zero one-hots.
-        oh = (col == safe[:, None]).astype(dtype)
-        rows = jnp.dot(oh, sub, preferred_element_type=jnp.float32)  # [chunk, C]
-        acc = acc + jnp.dot(
-            rows.astype(dtype), w_ref[k], preferred_element_type=jnp.float32
-        )
-    out_ref[:] = acc.astype(out_dtype)
+    @pl.when(ws_ref[i] >= 0)
+    def _():
+        dma(i % 2, i).wait()
+        slot = i % 2
+        ws = ws_ref[i]
+
+        cout = w_ref.shape[-1]
+        acc = jnp.zeros((chunk, cout), jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
+        dtype = win.dtype
+        for k in range(k_offsets):
+            # Per-offset sub-window: each offset's neighbor indices over a
+            # raster-sorted chunk are nearly monotone, so they fit a band of
+            # ~chunk + halo rows.  The host clamps wsk into
+            # [ws, ws + window - subwin] and aligns it to 16.
+            base = wskt_ref[k, i]
+            off = pl.multiple_of(base - ws, 16)
+            sub = win[slot, pl.ds(off, subwin), :]  # [subwin, C] ref read
+            g_idx = nbr_ref[:, k]
+            local = g_idx - base
+            valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
+            safe = jnp.where(valid, local, -1)
+            # The gather is a one-hot matmul: Mosaic's native dynamic_gather
+            # is limited to one vreg of sublanes, but the MXU eats a
+            # [chunk, subwin] @ [subwin, C] contraction for breakfast — and the
+            # one-hot never leaves VMEM/VREGs.  Invalid rows get all-zero
+            # one-hots.
+            oh = (col == safe[:, None]).astype(dtype)
+            rows = jnp.dot(oh, sub, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(
+                rows.astype(dtype), w_ref[k], preferred_element_type=jnp.float32
+            )
+        out_ref[:] = acc.astype(out_dtype)
 
 
 @functools.partial(
@@ -217,40 +225,51 @@ def _bwd_fused_kernel(
 
     @pl.when(i == 0)
     def _():
-        dma(0, 0).start()
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    @pl.when(i + 1 < n_chunks)
+    @pl.when((i == 0) & (ws_ref[0] >= 0))
+    def _():
+        dma(0, 0).start()
+
+    @pl.when((i + 1 < n_chunks) & (ws_ref[jnp.minimum(i + 1, n_chunks - 1)] >= 0))
     def _():
         dma((i + 1) % 2, i + 1).start()
 
-    dma(i % 2, i).wait()
-    slot = i % 2
-    ws = ws_ref[i]
-    dtype = win.dtype
-    x = x_ref[...].astype(dtype)  # [chunk, Cin]
-    cin = x_ref.shape[-1]
-    acc = jnp.zeros((chunk, cin), jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
-    for k in range(k_offsets):
-        base = wskt_ref[k, i]
-        off = pl.multiple_of(base - ws, 16)
-        sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cout]
-        g_idx = nbr_ref[:, k]
-        local = g_idx - base
-        valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
-        safe = jnp.where(valid, local, -1)
-        oh = (col == safe[:, None]).astype(dtype)
-        rows_g = jnp.dot(oh, sub, preferred_element_type=jnp.float32)  # [chunk, Cout]
-        rg = rows_g.astype(dtype)
-        acc = acc + jnp.dot(rg, wt_ref[k], preferred_element_type=jnp.float32)
-        contrib = jax.lax.dot_general(
-            x, rg,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Cin, Cout]
-        dw_ref[k_offsets - 1 - k, :, :] += contrib
-    dx_ref[:] = acc.astype(dx_ref.dtype)
+    @pl.when(ws_ref[i] < 0)
+    def _():
+        # fully-empty padding chunk: its rows are nobody's neighbors, so both
+        # its dX rows and its dW contribution are exactly zero
+        dx_ref[:] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+
+    @pl.when(ws_ref[i] >= 0)
+    def _():
+        dma(i % 2, i).wait()
+        slot = i % 2
+        ws = ws_ref[i]
+        dtype = win.dtype
+        x = x_ref[...].astype(dtype)  # [chunk, Cin]
+        cin = x_ref.shape[-1]
+        acc = jnp.zeros((chunk, cin), jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
+        for k in range(k_offsets):
+            base = wskt_ref[k, i]
+            off = pl.multiple_of(base - ws, 16)
+            sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cout]
+            g_idx = nbr_ref[:, k]
+            local = g_idx - base
+            valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
+            safe = jnp.where(valid, local, -1)
+            oh = (col == safe[:, None]).astype(dtype)
+            rows_g = jnp.dot(oh, sub, preferred_element_type=jnp.float32)
+            rg = rows_g.astype(dtype)
+            acc = acc + jnp.dot(rg, wt_ref[k], preferred_element_type=jnp.float32)
+            contrib = jax.lax.dot_general(
+                x, rg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Cin, Cout]
+            dw_ref[k_offsets - 1 - k, :, :] += contrib
+        dx_ref[:] = acc.astype(dx_ref.dtype)
 
 
 @functools.partial(

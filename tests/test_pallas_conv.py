@@ -140,6 +140,54 @@ def test_banded_vjp_matches_xla_grads(rng):
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), rtol=1e-4, atol=1e-4)
 
 
+def test_empty_chunk_skip_is_exact(rng):
+    """Chunks whose rows are all padding get ws = -1 and are skipped by the
+    kernels (zero output / zero grads) — bit-identical to the XLA path."""
+    import jax
+
+    from instancerefer_tpu.ops.pallas_conv import banded_subm_conv
+
+    nbr = _build_case(rng)
+    v, chunk, window, subwin = len(nbr), 128, 512, 256
+    # turn two full chunks into padding: like the pipeline's pad_stage, a
+    # padding row has no neighbors AND is nobody's neighbor
+    lo, hi = 3 * chunk, 5 * chunk
+    nbr[lo:hi] = -1
+    nbr = np.where((nbr >= lo) & (nbr < hi), -1, nbr)
+    ws, wsk_t = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    assert (ws[3:5] == -1).all() and (ws[:3] >= 0).all()
+
+    feats = jnp.asarray(rng.normal(size=(v, 16)).astype(np.float32))
+    kernel = jnp.asarray((rng.normal(size=(27, 16, 8)) * 0.1).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(v, 8)).astype(np.float32))
+    jnbr, jws, jwsk = map(jnp.asarray, (nbr, ws, wsk_t))
+
+    def loss_banded(f, k):
+        return jnp.sum(
+            banded_subm_conv(
+                f, jnbr, k, jws, jwsk,
+                window=window, chunk=chunk, subwin=subwin, interpret=True,
+            )
+            * cot
+        )
+
+    def loss_ref(f, k):
+        return jnp.sum(gather_conv(f, jnbr, k) * cot)
+
+    out = banded_subm_conv(
+        feats, jnbr, kernel, jws, jwsk,
+        window=window, chunk=chunk, subwin=subwin, interpret=True,
+    )
+    ref = gather_conv(feats, jnbr, kernel)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(out[3 * chunk : 5 * chunk]) == 0.0)
+
+    gf, gk = jax.grad(loss_banded, argnums=(0, 1))(feats, kernel)
+    gf_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(feats, kernel)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), rtol=1e-4, atol=1e-4)
+
+
 def test_window_starts_alignment(rng):
     nbr = _build_case(rng)
     ws = V.compute_window_starts(nbr, 128, 512, len(nbr))
