@@ -89,6 +89,13 @@ class Config:
     pallas_subwin: Sequence[int] = (384, 512, 384, 384, 128)
     pallas_subwin_inst: Sequence[int] = (384, 384, 384, 384, 256)
     pallas_count_drops: bool = True
+    # banded geometry for the stride-2 down maps (0 = keep that stage's down
+    # conv on the XLA gather path; see data/pipeline.BatchSpec)
+    pallas_down_chunk: int = 128
+    pallas_down_subwin: Sequence[int] = (0, 1280, 768, 768, 256)
+    pallas_down_window: Sequence[int] = (0, 1536, 1024, 1024, 512)
+    pallas_down_subwin_inst: Sequence[int] = (0, 256, 384, 0, 0)
+    pallas_down_window_inst: Sequence[int] = (0, 512, 512, 0, 0)
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"
@@ -104,6 +111,9 @@ class Config:
         )
 
     def batch_spec(self) -> BatchSpec:
+        def _seq(v):
+            return v if isinstance(v, int) or v is None else tuple(v)
+
         use_pallas = bool(self.pallas_conv)
         if use_pallas:
             # Mosaic kernels need a real TPU backend; CPU/GPU fall back to the
@@ -138,6 +148,11 @@ class Config:
                 else tuple(self.pallas_subwin_inst)
             ),
             pallas_count_drops=self.pallas_count_drops,
+            pallas_down_chunk=self.pallas_down_chunk,
+            pallas_down_subwin=_seq(self.pallas_down_subwin),
+            pallas_down_window=_seq(self.pallas_down_window),
+            pallas_down_subwin_inst=_seq(self.pallas_down_subwin_inst),
+            pallas_down_window_inst=_seq(self.pallas_down_window_inst),
         )
 
     # ---- reference path tree (lib/config.py:34-70)

@@ -57,6 +57,23 @@ class BatchSpec:
     pallas_subwin: Sequence[int] = (384, 512, 384, 384, 128)
     pallas_subwin_inst: Sequence[int] = (384, 384, 384, 384, 256)
     pallas_count_drops: bool = True
+    # banded geometry for the stride-2 down maps (spans into the previous
+    # stage scale with stride, so bands are wider and chunk drops to 128);
+    # subwin 0 keeps that stage's down conv on the XLA gather path — the
+    # small stages' maps are too scattered for banding to pay off.
+    # Measured down-map minima at chunk 128 (4 seeds): scene
+    # (1152, 656, 656, 240), instance (192, 304, 512, 464).
+    pallas_down_chunk: int = 128
+    pallas_down_subwin: Sequence[int] = (0, 1280, 768, 768, 256)
+    pallas_down_window: Sequence[int] = (0, 1536, 1024, 1024, 512)
+    pallas_down_subwin_inst: Sequence[int] = (0, 256, 384, 0, 0)
+    pallas_down_window_inst: Sequence[int] = (0, 512, 512, 0, 0)
+
+    @staticmethod
+    def _profile(prof, stage):
+        if isinstance(prof, int):
+            return prof
+        return prof[min(stage, len(prof) - 1)]
 
     def subwin_for(self, stage: int, prefix: str = "scene") -> int:
         prof = (
@@ -64,9 +81,17 @@ class BatchSpec:
             if prefix == "inst" and self.pallas_subwin_inst is not None
             else self.pallas_subwin
         )
-        if isinstance(prof, int):
-            return prof
-        return prof[min(stage, len(prof) - 1)]
+        return self._profile(prof, stage)
+
+    def down_geom_for(self, stage: int, prefix: str = "scene"):
+        """(chunk, window, subwin) for the stage's down map; subwin 0 = XLA."""
+        if prefix == "inst":
+            sub = self._profile(self.pallas_down_subwin_inst, stage)
+            win = self._profile(self.pallas_down_window_inst, stage)
+        else:
+            sub = self._profile(self.pallas_down_subwin, stage)
+            win = self._profile(self.pallas_down_window, stage)
+        return self.pallas_down_chunk, win, sub
 
     def scaled(self, factor: float) -> "BatchSpec":
         """Shrink capacities (e.g. for tests) keeping structure."""
@@ -376,6 +401,25 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     total += t
                 else:
                     ws3, wsk3 = res
+            wsd = wskd = None
+            d_chunk, d_window, d_subwin = spec.down_geom_for(s, prefix)
+            if (
+                s > 0
+                and spec.pallas_conv
+                and d_subwin > 0
+                and v % d_chunk == 0
+                and prev_v >= d_window
+            ):
+                res = compute_offset_window_starts(
+                    down, d_chunk, d_window, d_subwin, prev_v,
+                    count_drops=spec.pallas_count_drops,
+                )
+                if spec.pallas_count_drops:
+                    wsd, wskd, d, t = res
+                    dropped += d
+                    total += t
+                else:
+                    wsd, wskd = res
             stages.append(
                 SparseStage(
                     coords=batch[f"{prefix}_coords_{s}"],
@@ -388,9 +432,14 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     wsk3=wsk3,
                     up_row=up_row,
                     up_k=up_k,
+                    wsd=wsd,
+                    wskd=wskd,
                     pallas_chunk=spec.pallas_chunk if ws3 is not None else 0,
                     pallas_window=spec.pallas_window if ws3 is not None else 0,
                     pallas_subwin=subwin if ws3 is not None else 0,
+                    pallas_down_chunk=d_chunk if wsd is not None else 0,
+                    pallas_down_window=d_window if wsd is not None else 0,
+                    pallas_down_subwin=d_subwin if wsd is not None else 0,
                 )
             )
         return tuple(stages), np.float32(dropped / max(total, 1))

@@ -160,8 +160,14 @@ class DownConv2(nn.Module):
         cin = feats_prev.shape[-1]
         kernel = self.param("kernel", _conv_init(8, cin), (8, cin, self.features))
         # inverse-map custom VJP: the stride-2 backward is a gather, not
-        # XLA's scatter-add (ops/sparse.down_gather_conv)
-        return down_gather_conv(feats_prev, sv.down, sv.up_row, sv.up_k, kernel)
+        # XLA's scatter-add; forward goes banded Pallas when the batch
+        # carries down-map window metadata (ops/sparse.down_gather_conv)
+        return down_gather_conv(
+            feats_prev, sv.down, sv.up_row, sv.up_k, kernel,
+            sv.wsd, sv.wskd,
+            window=sv.pallas_down_window, chunk=sv.pallas_down_chunk,
+            subwin=sv.pallas_down_subwin,
+        )
 
 
 class BasicConvolutionBlock(nn.Module):

@@ -27,6 +27,7 @@ Convolution is then gather -> GEMM -> accumulate, which XLA maps onto the MXU.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -75,11 +76,17 @@ class SparseStage:
     wsk3: Optional[jnp.ndarray] = None
     up_row: Optional[jnp.ndarray] = None
     up_k: Optional[jnp.ndarray] = None
+    # banded metadata for the stride-2 ``down`` map (None = XLA gather path)
+    wsd: Optional[jnp.ndarray] = None
+    wskd: Optional[jnp.ndarray] = None
     # static banded-conv geometry (must match what the pipeline used when
-    # computing ws3/wsk3); 0 = unset
+    # computing ws3/wsk3 and wsd/wskd); 0 = unset
     pallas_chunk: int = struct.field(pytree_node=False, default=0)
     pallas_window: int = struct.field(pytree_node=False, default=0)
     pallas_subwin: int = struct.field(pytree_node=False, default=0)
+    pallas_down_chunk: int = struct.field(pytree_node=False, default=0)
+    pallas_down_window: int = struct.field(pytree_node=False, default=0)
+    pallas_down_subwin: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
@@ -250,21 +257,64 @@ def _down_conv_bwd(res, g):
 _down_conv_core.defvjp(_down_conv_fwd, _down_conv_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _down_conv_banded_core(window, chunk, subwin, interpret, feats, down,
+                           up_row, up_k, kernel, wsd, wskd):
+    from instancerefer_tpu.ops.pallas_conv import windowed_gather_conv
+
+    return windowed_gather_conv(
+        cast_in(feats), down, cast_in(kernel), wsd, wskd,
+        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+    )
+
+
+def _down_conv_banded_fwd(window, chunk, subwin, interpret, feats, down,
+                          up_row, up_k, kernel, wsd, wskd):
+    out = _down_conv_banded_core(
+        window, chunk, subwin, interpret, feats, down, up_row, up_k, kernel,
+        wsd, wskd
+    )
+    return out, (feats, down, up_row, up_k, kernel)
+
+
+def _down_conv_banded_bwd(window, chunk, subwin, interpret, res, g):
+    dx, _, _, _, dw = _down_conv_bwd(res, g)
+    return dx, None, None, None, dw, None, None
+
+
+_down_conv_banded_core.defvjp(_down_conv_banded_fwd, _down_conv_banded_bwd)
+
+
 def down_gather_conv(
     feats: jnp.ndarray,
     down: jnp.ndarray,
     up_row: jnp.ndarray,
     up_k: jnp.ndarray,
     kernel: jnp.ndarray,
+    wsd=None,
+    wskd=None,
+    *,
+    window: int = 0,
+    chunk: int = 0,
+    subwin: int = 0,
+    interpret: bool = False,
 ):
     """2^3 stride-2 conv with the inverse-map (scatter-free) backward.
 
     ``up_row``/``up_k`` come from the host pipeline
     (``data/pipeline.batch_to_device_dict``), which inverts the batch's
-    ``down`` map.  Falls back to ``gather_conv`` when they are absent.
+    ``down`` map.  When the batch also carries banded down-map metadata
+    (``wsd``/``wskd``), the forward runs through the banded Pallas kernel
+    (with its exact empty-chunk skip); the backward is the inverse-map one
+    either way.  Falls back to plain ``gather_conv`` when maps are absent.
     """
     if up_row is None or up_k is None:
         return gather_conv(feats, down, kernel)
+    if wsd is not None and wskd is not None and subwin > 0:
+        return _down_conv_banded_core(
+            window, chunk, subwin, interpret, feats, down, up_row, up_k,
+            kernel, wsd, wskd
+        )
     return _down_conv_core(feats, down, up_row, up_k, kernel)
 
 

@@ -133,6 +133,60 @@ def test_down_conv_custom_vjp_matches_autodiff(rng):
     )
 
 
+def test_banded_down_conv_matches_xla(rng):
+    """The banded Pallas down-conv forward (+ inverse-map backward) must
+    match the XLA gather path and its grads."""
+    import jax
+
+    from instancerefer_tpu.ops.sparse import down_gather_conv
+
+    rng2 = np.random.default_rng(7)
+    coords = np.unique(rng2.integers(0, 24, size=(4000, 3)).astype(np.int32), axis=0)
+    keys = V.pack_coords(coords)
+    coords = coords[np.argsort(keys)]
+    out_coords, down = V.build_downsample(coords, stride=1)
+    # raster-sort the outputs too (as build_pyramid does)
+    order = np.argsort(V.pack_coords(out_coords))
+    down = down[order]
+    v_out = len(down)
+    chunk = 64
+    pad = (-v_out) % chunk
+    down = np.concatenate([down, np.full((pad, 8), -1, np.int32)])
+    v_out = len(down)
+
+    up_row = np.full(len(coords), -1, np.int32)
+    up_k = np.full(len(coords), -1, np.int32)
+    vv, kk = np.nonzero(down >= 0)
+    tgt = down[vv, kk]
+    up_row[tgt] = vv.astype(np.int32)
+    up_k[tgt] = kk.astype(np.int32)
+
+    window, subwin = 1024, 512
+    wsd, wskd = V.compute_offset_window_starts(
+        down, chunk, window, subwin, len(coords)
+    )
+    x = jnp.asarray(rng2.normal(size=(len(coords), 16)).astype(np.float32))
+    w = jnp.asarray((rng2.normal(size=(8, 16, 8)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng2.normal(size=(v_out, 8)).astype(np.float32))
+    jd, jur, juk = map(jnp.asarray, (down, up_row, up_k))
+    jwsd, jwskd = jnp.asarray(wsd), jnp.asarray(wskd)
+
+    def banded(x, w):
+        return down_gather_conv(
+            x, jd, jur, juk, w, jwsd, jwskd,
+            window=window, chunk=chunk, subwin=subwin, interpret=True,
+        )
+
+    out = banded(x, w)
+    ref = gather_conv(x, jd, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    got = jax.grad(lambda x, w: jnp.vdot(banded(x, w), g), argnums=(0, 1))(x, w)
+    want = jax.grad(lambda x, w: jnp.vdot(gather_conv(x, jd, w), g), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), rtol=1e-4, atol=1e-4)
+
+
 def test_masked_global_max_pool(rng):
     feats = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
     owner = jnp.array([0, 0, 2, 2, 2, -1, -1, 1, 1, 0])
