@@ -118,11 +118,19 @@ class Config:
         if use_pallas:
             # Mosaic kernels need a real TPU backend; CPU/GPU fall back to the
             # XLA gather-GEMM path (identical math, tested in
-            # tests/test_pallas_conv.py)
+            # tests/test_pallas_conv.py).  Multi-device meshes also take the
+            # XLA path: GSPMD partitions its gathers cleanly along the data
+            # axis, whereas a pallas_call's global row indices would need the
+            # shard_map + index-localization integration (harness proven in
+            # tests/test_multichip.py; blocked on running the real kernels
+            # under shard_map, which this jax's interpret mode mis-shards).
             try:
                 import jax
 
-                use_pallas = jax.default_backend() not in ("cpu", "gpu")
+                use_pallas = (
+                    jax.default_backend() not in ("cpu", "gpu")
+                    and len(jax.devices()) == 1
+                )
             except Exception:
                 use_pallas = False
         return BatchSpec(

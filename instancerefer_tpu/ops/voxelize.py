@@ -179,6 +179,7 @@ def compute_offset_window_starts(
     v_in: int,
     align: int = 16,
     count_drops: bool = False,
+    block: int = 0,
 ):
     """(window_start [n], offset_window_start [K, n]) for the banded conv.
 
@@ -194,6 +195,13 @@ def compute_offset_window_starts(
     With ``count_drops=True`` also returns (dropped, total): how many valid
     neighbor entries fall outside their offset's sub-window (the kernel
     treats those as empty — a silent numeric deviation worth observing).
+
+    ``block > 0`` additionally clamps every window inside the ``block``-row
+    slab containing its chunk (block must be a multiple of chunk and at
+    least ``window``).  This makes the metadata shard-safe for data-parallel
+    execution: with ``block = rows_per_shard``, windows never cross shard
+    boundaries, so a shard_map'd kernel can subtract its shard's row offset
+    and run on purely local rows.
     """
     v_out, k = nbr.shape
     n = v_out // chunk
@@ -206,6 +214,10 @@ def compute_offset_window_starts(
     lo = np.where(empty, 0, lo_global)
     lo = (lo // align) * align
     ws = np.clip(lo, 0, max(v_in - window, 0)).astype(np.int32)
+    if block:
+        assert block % chunk == 0 and block >= window, (block, chunk, window)
+        blk_lo = (np.arange(n) * chunk // block) * block
+        ws = np.clip(ws, blk_lo, blk_lo + block - window).astype(np.int32)
     # empty offsets take the chunk's window start (no valid nbr to cover)
     lo_k = np.where(lo_k == big, ws[:, None], lo_k)
     wsk = (lo_k // align) * align
