@@ -372,15 +372,11 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
             )
             up_row = up_k = None
             if s > 0:
-                # invert the (non-overlapping) stride-2 map: previous-stage
-                # row -> (this-stage row, offset); -1 = feeds nothing.  Turns
-                # the down-conv backward into a gather (down_gather_conv).
-                up_row = np.full(prev_v, -1, np.int32)
-                up_k = np.full(prev_v, -1, np.int32)
-                vv, kk = np.nonzero(down >= 0)
-                tgt = down[vv, kk]
-                up_row[tgt] = vv.astype(np.int32)
-                up_k[tgt] = kk.astype(np.int32)
+                # inverse map turns the down-conv backward into a gather
+                # (ops/sparse.down_gather_conv)
+                from instancerefer_tpu.ops.voxelize import invert_down
+
+                up_row, up_k = invert_down(down, prev_v)
             prev_v = nbr3.shape[0]
             owner = batch[f"{prefix}_owner_{s}"]
             ws3 = wsk3 = None

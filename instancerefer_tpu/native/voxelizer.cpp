@@ -160,4 +160,93 @@ int64_t ir_downsample(const int32_t* coords, int64_t n, int32_t stride,
   return m;
 }
 
+// Banded window metadata for the windowed Pallas conv — one cache-hot pass
+// over the neighbor map instead of numpy's several full-size temporaries
+// (mirrors ops/voxelize.compute_offset_window_starts, which documents the
+// semantics: per-chunk window starts ws (-1 marks all-padding chunks),
+// per-offset sub-window starts wsk_t laid out [k x n_chunks] for SMEM
+// scalar prefetch, optional block clamping for shard-safety, and counts of
+// band-dropped neighbor entries for observability).
+void ir_band_starts(const int32_t* nbr, int64_t v_out, int32_t k,
+                    int32_t chunk, int32_t window, int32_t subwin,
+                    int64_t v_in, int32_t align, int32_t block,
+                    int32_t* ws, int32_t* wsk_t,
+                    int64_t* dropped, int64_t* total) {
+  const int64_t n = v_out / chunk;
+  const int32_t kBig = INT32_MAX;
+  int64_t drop_acc = 0, total_acc = 0;
+  std::vector<int32_t> lo_k(k), hi_k(k);
+  for (int64_t ci = 0; ci < n; ++ci) {
+    const int32_t* rows = nbr + ci * int64_t(chunk) * k;
+    for (int32_t j = 0; j < k; ++j) { lo_k[j] = kBig; hi_k[j] = -1; }
+    for (int64_t r = 0; r < chunk; ++r) {
+      const int32_t* e = rows + r * k;
+      for (int32_t j = 0; j < k; ++j) {
+        int32_t v = e[j];
+        if (v >= 0) {
+          if (v < lo_k[j]) lo_k[j] = v;
+          if (v > hi_k[j]) hi_k[j] = v;
+          ++total_acc;
+        }
+      }
+    }
+    int32_t lo_g = kBig;
+    for (int32_t j = 0; j < k; ++j)
+      if (lo_k[j] < lo_g) lo_g = lo_k[j];
+    const bool empty = (lo_g == kBig);
+    // empty chunks follow the lo = 0 path for wsk parity with the numpy
+    // reference, then get ws = -1 (kernels skip them entirely)
+    int64_t lo = empty ? 0 : (int64_t(lo_g) / align) * align;
+    int64_t hi_clip = v_in - window; if (hi_clip < 0) hi_clip = 0;
+    if (lo > hi_clip) lo = hi_clip;
+    if (lo < 0) lo = 0;
+    if (block > 0) {
+      int64_t blk_lo = ((ci * chunk) / block) * block;
+      int64_t blk_hi = blk_lo + block - window;
+      if (lo < blk_lo) lo = blk_lo;
+      if (lo > blk_hi) lo = blk_hi;
+    }
+    const int32_t wsafe = static_cast<int32_t>(lo);
+    ws[ci] = empty ? -1 : wsafe;
+    for (int32_t j = 0; j < k; ++j) {
+      int64_t l = (lo_k[j] == kBig) ? wsafe : (int64_t(lo_k[j]) / align) * align;
+      int64_t up = int64_t(wsafe) + window - subwin;
+      if (l < wsafe) l = wsafe;
+      if (l > up) l = up;
+      wsk_t[int64_t(j) * n + ci] = static_cast<int32_t>(l);
+    }
+    if (dropped) {
+      for (int64_t r = 0; r < chunk; ++r) {
+        const int32_t* e = rows + r * k;
+        for (int32_t j = 0; j < k; ++j) {
+          int32_t v = e[j];
+          if (v >= 0) {
+            int64_t local = int64_t(v) - wsk_t[int64_t(j) * n + ci];
+            if (local < 0 || local >= subwin) ++drop_acc;
+          }
+        }
+      }
+    }
+  }
+  if (dropped) *dropped = drop_acc;
+  if (total) *total = total_acc;
+}
+
+// Invert a stride-2 down map (non-overlapping: each previous-stage row feeds
+// at most one (output row, offset)): up_row/up_k sized v_prev, -1 = none.
+void ir_invert_down(const int32_t* down, int64_t v_out, int32_t k,
+                    int64_t v_prev, int32_t* up_row, int32_t* up_k) {
+  for (int64_t u = 0; u < v_prev; ++u) { up_row[u] = -1; up_k[u] = -1; }
+  for (int64_t v = 0; v < v_out; ++v) {
+    const int32_t* e = down + v * k;
+    for (int32_t j = 0; j < k; ++j) {
+      int32_t u = e[j];
+      if (u >= 0 && u < v_prev) {
+        up_row[u] = static_cast<int32_t>(v);
+        up_k[u] = j;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -35,8 +35,13 @@ def _load_native():
         "native",
         "libirvoxelizer.so",
     )
-    if not os.path.exists(path) and os.environ.get("IR_TPU_NO_BUILD") != "1":
-        # best-effort one-shot build; numpy fallback on any failure
+    src = os.path.join(os.path.dirname(path), "voxelizer.cpp")
+    stale = (
+        not os.path.exists(path)
+        or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(path))
+    )
+    if stale and os.environ.get("IR_TPU_NO_BUILD") != "1":
+        # best-effort (re)build; numpy fallback on any failure
         try:
             from instancerefer_tpu.native.build import build
 
@@ -51,13 +56,27 @@ def _load_native():
         return None
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    lib.ir_unique_first.restype = ctypes.c_int64
-    lib.ir_unique_first.argtypes = [i32p, ctypes.c_int64, i64p]
-    lib.ir_build_nbr.restype = None
-    lib.ir_build_nbr.argtypes = [i32p, ctypes.c_int64, i32p, ctypes.c_int32,
-                                 ctypes.c_int32, i32p]
-    lib.ir_downsample.restype = ctypes.c_int64
-    lib.ir_downsample.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p]
+    try:
+        lib.ir_unique_first.restype = ctypes.c_int64
+        lib.ir_unique_first.argtypes = [i32p, ctypes.c_int64, i64p]
+        lib.ir_build_nbr.restype = None
+        lib.ir_build_nbr.argtypes = [i32p, ctypes.c_int64, i32p, ctypes.c_int32,
+                                     ctypes.c_int32, i32p]
+        lib.ir_downsample.restype = ctypes.c_int64
+        lib.ir_downsample.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p]
+        lib.ir_band_starts.restype = None
+        lib.ir_band_starts.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p, i64p, i64p,
+        ]
+        lib.ir_invert_down.restype = None
+        lib.ir_invert_down.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+        ]
+    except AttributeError:
+        # an .so from an older source revision without the newer entry points
+        return None
     return lib
 
 
@@ -205,6 +224,19 @@ def compute_offset_window_starts(
     """
     v_out, k = nbr.shape
     n = v_out // chunk
+    if _NATIVE is not None and v_out == n * chunk:
+        nbr_c = np.ascontiguousarray(nbr, dtype=np.int32)
+        ws = np.empty(n, np.int32)
+        wsk_t = np.empty((k, n), np.int32)
+        dropped = np.zeros(1, np.int64)
+        total = np.zeros(1, np.int64)
+        _NATIVE.ir_band_starts(
+            nbr_c, v_out, k, chunk, window, subwin, v_in, align, block,
+            ws, wsk_t, dropped, total,
+        )
+        if not count_drops:
+            return ws, wsk_t
+        return ws, wsk_t, int(dropped[0]), int(total[0])
     big = np.iinfo(np.int32).max
     blk = nbr[: n * chunk].reshape(n, chunk, k)
     masked = np.where(blk >= 0, blk, big)
@@ -236,6 +268,29 @@ def compute_offset_window_starts(
     total = int(valid.sum())
     dropped = total - int(ok.sum())
     return ws, wsk_t, dropped, total
+
+
+def invert_down(down: np.ndarray, v_prev: int):
+    """Invert a (non-overlapping) stride-2 map: previous-stage row ->
+    (this-stage row, offset), -1 where a row feeds nothing.
+
+    Drives the scatter-free down-conv backward (ops/sparse.down_gather_conv).
+    """
+    if _NATIVE is not None:
+        down_c = np.ascontiguousarray(down, dtype=np.int32)
+        up_row = np.empty(v_prev, np.int32)
+        up_k = np.empty(v_prev, np.int32)
+        _NATIVE.ir_invert_down(
+            down_c, down.shape[0], down.shape[1], v_prev, up_row, up_k
+        )
+        return up_row, up_k
+    up_row = np.full(v_prev, -1, np.int32)
+    up_k = np.full(v_prev, -1, np.int32)
+    vv, kk = np.nonzero(down >= 0)
+    tgt = down[vv, kk]
+    up_row[tgt] = vv.astype(np.int32)
+    up_k[tgt] = kk.astype(np.int32)
+    return up_row, up_k
 
 
 def _lookup(sorted_keys: np.ndarray, order: np.ndarray, query_keys: np.ndarray) -> np.ndarray:

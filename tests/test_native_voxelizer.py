@@ -80,3 +80,71 @@ def test_native_negative_coords(rng):
     oc_p, dn_p = _numpy_downsample(coords, 1)
     np.testing.assert_array_equal(oc_n, oc_p)
     np.testing.assert_array_equal(dn_n, dn_p)
+
+
+def _numpy_band_starts(nbr, chunk, window, subwin, v_in, align=16,
+                       count_drops=False, block=0):
+    """The pure-numpy reference of compute_offset_window_starts."""
+    v_out, k = nbr.shape
+    n = v_out // chunk
+    big = np.iinfo(np.int32).max
+    blk = nbr[: n * chunk].reshape(n, chunk, k)
+    masked = np.where(blk >= 0, blk, big)
+    lo_k = masked.min(axis=1)
+    lo_global = lo_k.min(axis=1)
+    empty = lo_global == big
+    lo = np.where(empty, 0, lo_global)
+    lo = (lo // align) * align
+    ws = np.clip(lo, 0, max(v_in - window, 0)).astype(np.int32)
+    if block:
+        blk_lo = (np.arange(n) * chunk // block) * block
+        ws = np.clip(ws, blk_lo, blk_lo + block - window).astype(np.int32)
+    lo_k = np.where(lo_k == big, ws[:, None], lo_k)
+    wsk = (lo_k // align) * align
+    wsk = np.clip(wsk, ws[:, None], (ws + window - subwin)[:, None]).astype(np.int32)
+    ws = np.where(empty, -1, ws).astype(np.int32)
+    wsk_t = np.ascontiguousarray(wsk.T)
+    if not count_drops:
+        return ws, wsk_t
+    valid = blk >= 0
+    local = blk - wsk[:, None, :]
+    ok = valid & (local >= 0) & (local < subwin)
+    total = int(valid.sum())
+    return ws, wsk_t, total - int(ok.sum()), total
+
+
+@pytest.mark.parametrize("block", [0, 512])
+def test_native_band_starts_identical(rng, block):
+    if not V.native_available():
+        pytest.skip("native lib unavailable")
+    # two samples of 512 rows with an all-padding hole in the middle
+    nbr = rng.integers(-1, 512, size=(1024, 27)).astype(np.int32)
+    # make rows sample-local like the pipeline (second block offsets by 512)
+    nbr[512:] = np.where(nbr[512:] >= 0, nbr[512:] + 512, -1)
+    nbr[256:384] = -1  # padding chunk(s)
+    chunk, window, subwin = 128, 512, 256
+    got = V.compute_offset_window_starts(
+        nbr, chunk, window, subwin, 1024, count_drops=True, block=block
+    )
+    want = _numpy_band_starts(
+        nbr, chunk, window, subwin, 1024, count_drops=True, block=block
+    )
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+    assert got[2] == want[2] and got[3] == want[3]
+
+
+def test_native_invert_down_identical(rng):
+    if not V.native_available():
+        pytest.skip("native lib unavailable")
+    coords = np.unique(rng.integers(-8, 8, size=(500, 3)).astype(np.int32), axis=0)
+    _, down = V.build_downsample(coords, 1)
+    got = V.invert_down(down, len(coords))
+    up_row = np.full(len(coords), -1, np.int32)
+    up_k = np.full(len(coords), -1, np.int32)
+    vv, kk = np.nonzero(down >= 0)
+    tgt = down[vv, kk]
+    up_row[tgt] = vv.astype(np.int32)
+    up_k[tgt] = kk.astype(np.int32)
+    np.testing.assert_array_equal(got[0], up_row)
+    np.testing.assert_array_equal(got[1], up_k)
