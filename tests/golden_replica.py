@@ -118,6 +118,8 @@ def gather_conv_t(feats: torch.Tensor, nbr: np.ndarray, weight: torch.Tensor):
 
 
 def _t(a) -> torch.Tensor:
+    if isinstance(a, torch.Tensor):
+        return a  # pre-built (possibly requires_grad) leaf — keep identity
     return torch.tensor(np.asarray(a), dtype=torch.float32)
 
 
@@ -234,14 +236,17 @@ class ReplicaLang:
         self.fc = {h: Linear(p[h]) for h in ("fc_a", "fc_cls", "fc_rel", "fc_scene")}
         self.cls = Linear(p["lang_cls"])
 
-    def __call__(self, dd: Dict):
+    def __call__(self, dd: Dict, enable_grad: bool = False):
         embed = F.relu(self.wp1(F.relu(self.wp0(dd["lang_feat"]))))  # dropout off
         lengths = torch.as_tensor(dd["lang_len"])
         packed = torch.nn.utils.rnn.pack_padded_sequence(
             embed, lengths, batch_first=True, enforce_sorted=False
         )
-        with torch.no_grad():
+        if enable_grad:
             out, _ = self.gru(packed)
+        else:
+            with torch.no_grad():
+                out, _ = self.gru(packed)
         feats, _ = torch.nn.utils.rnn.pad_packed_sequence(out, batch_first=True)
         dd["lang_feat_gru"] = feats
         tmax = feats.shape[1]
@@ -461,9 +466,10 @@ class Replica:
         self.relation = ReplicaRelation(params["relation"], batch_stats["relation"])
         self.scene = ReplicaScene(params["scene"], batch_stats["scene"])
 
-    def forward(self, dd: Dict) -> Dict:
-        with torch.no_grad():
-            dd = self.lang(dd)
+    def forward(self, dd: Dict, enable_grad: bool = False) -> Dict:
+        ctx = torch.enable_grad() if enable_grad else torch.no_grad()
+        with ctx:
+            dd = self.lang(dd, enable_grad=enable_grad)
             dd = self.attribute(dd)
             dd = self.relation(dd)
             dd = self.scene(dd)
@@ -473,6 +479,8 @@ class Replica:
 def _np_tree(tree):
     if isinstance(tree, dict) or hasattr(tree, "items"):
         return {k: _np_tree(v) for k, v in tree.items()}
+    if isinstance(tree, torch.Tensor):
+        return tree  # keep identity so .grad lands on the caller's leaves
     return np.asarray(tree)
 
 
@@ -595,3 +603,53 @@ def replica_get_eval(dd: Dict) -> Dict:
     dd["ref_iou_rate_0.5"] = float((np.array(ious) >= 0.5).mean())
     dd["num_missed"] = num_missed
     return dd
+
+
+# ---------------------------------------------------------------------------
+# gradient goldens: requires_grad param trees + grad collection
+# ---------------------------------------------------------------------------
+
+
+def torch_param_tree(params):
+    """flax params (numpy) -> same-structure dict of requires_grad tensors.
+
+    Passing this tree to Replica keeps leaf identity (_t/_np_tree pass
+    torch.Tensors through), so after loss.backward() each leaf's ``.grad``
+    is the reference gradient for the corresponding flax parameter.
+    """
+    if isinstance(params, dict) or hasattr(params, "items"):
+        return {k: torch_param_tree(v) for k, v in params.items()}
+    t = torch.tensor(np.asarray(params), dtype=torch.float32)
+    t.requires_grad_(True)
+    return t
+
+
+def collect_param_grads(params_t, replica):
+    """Read gradients off a torch_param_tree after backward; the GRU's grads
+    come from the nn.GRU parameters load_gru copied the weights into (the
+    copy breaks the autograd chain to the tree leaves), mapped back through
+    the same (transposed) layout."""
+
+    def walk(t):
+        if isinstance(t, dict):
+            return {k: walk(v) for k, v in t.items()}
+        g = t.grad
+        return np.zeros(t.shape, np.float32) if g is None else g.numpy().copy()
+
+    out = walk(params_t)
+    gru = replica.lang.gru
+    gru_tree = {}
+    for layer in range(2):
+        for sfx, key in (("", "fwd"), ("_reverse", "bwd")):
+            def g(name):
+                p = getattr(gru, name)
+                return (np.zeros(p.shape, np.float32) if p.grad is None
+                        else p.grad.numpy().copy())
+            gru_tree[f"l{layer}_{key}"] = {
+                "wx": g(f"weight_ih_l{layer}{sfx}").T,
+                "wh": g(f"weight_hh_l{layer}{sfx}").T,
+                "bx": g(f"bias_ih_l{layer}{sfx}"),
+                "bh": g(f"bias_hh_l{layer}{sfx}"),
+            }
+    out["lang"]["gru"] = gru_tree
+    return out
