@@ -197,3 +197,57 @@ def test_get_scanrefer_roundtrip(fake_data_root):
     loaded = get_scanrefer(root, "val")
     assert len(loaded) == 3
     assert loaded[0]["scene_id"] == "scene0000_00"
+
+
+def test_multiview_features_end_to_end(fake_data_root):
+    """use_multiview=True: per-point 128-d ENet features from the HDF5 are
+    concatenated before height (reference lib/dataset.py:112-123), flow
+    through pad/collate, and the model forward accepts the 135-ch input
+    (scripts/train.py channel arithmetic: 128 + color 3 + xyz 3 + height 1)."""
+    import functools
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.data.pipeline import (
+        BatchSpec,
+        batch_to_device_dict,
+        collate,
+        pad_sample,
+    )
+    from instancerefer_tpu.models.instancerefer import InstanceRefer
+
+    root, scanrefer = fake_data_root
+    rng = np.random.default_rng(5)
+    n = len(np.load(f"{root}/scannet/pointgroup_data/scene0000_00_aligned_vert.npy"))
+    with h5py.File(f"{root}/enet_feats_maxpool.hdf5", "w") as f:
+        f["scene0000_00"] = rng.normal(size=(n, 128)).astype(np.float32)
+
+    ds = ScannetReferenceDataset(
+        scanrefer, "val", data_root=root, num_points=400,
+        use_augment=False, seed=7, use_multiview=True,
+    )
+    core = ds.get_core(0)
+    assert core.point_cloud.shape == (400, 135)  # xyz rgb mv128 height
+    # height stays the LAST channel (computed after the multiview concat):
+    # z minus a constant floor (the floor percentile is taken over the full
+    # cloud, before sampling)
+    z = core.point_cloud[:, 2]
+    diff = core.point_cloud[:, -1] - z
+    np.testing.assert_allclose(diff, diff[0], atol=1e-5)
+
+    spec = BatchSpec(
+        max_tokens=12, max_instances=8, max_candidates=4,
+        scene_caps=(256, 128, 64, 32, 16), inst_caps=(256, 128, 64, 32, 16),
+        feat_dim=135,
+    )
+    dd = batch_to_device_dict(collate([pad_sample(core, spec)], spec), spec)
+    model = InstanceRefer(
+        input_feature_dim=135, num_classes=18, max_candidates=4
+    )
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, dd
+    )
+    out = model.apply(variables, dd, train=False)
+    assert out["attribute_scores"].shape == (1, 4)
