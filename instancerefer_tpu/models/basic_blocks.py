@@ -82,8 +82,17 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
 
+        # padded-lane regime (sparse encoders): x is wider than ``features``
+        # with zero padding lanes.  Zero-padded scale/bias keep those lanes
+        # exactly zero; running stats stay at the real [features] shape.
+        width = x.shape[-1]
+        padded = width != self.features
+        if padded:
+            scale = jnp.pad(scale, (0, width - self.features))
+            bias = jnp.pad(bias, (0, width - self.features))
+
         if train:
-            flat = x.reshape(-1, self.features)
+            flat = x.reshape(-1, width)
             if mask is None:
                 n = jnp.asarray(flat.shape[0], jnp.float32)
                 mean = jnp.mean(flat, axis=0)
@@ -96,12 +105,22 @@ class MaskedBatchNorm(nn.Module):
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-                ra_mean.value = (1.0 - momentum) * ra_mean.value + momentum * mean
-                ra_var.value = (1.0 - momentum) * ra_var.value + momentum * unbiased
+                ra_mean.value = (
+                    (1.0 - momentum) * ra_mean.value
+                    + momentum * mean[: self.features]
+                )
+                ra_var.value = (
+                    (1.0 - momentum) * ra_var.value
+                    + momentum * unbiased[: self.features]
+                )
         else:
             mean, var = ra_mean.value, ra_var.value
+            if padded:
+                # padding lanes: (0 - 0) * rsqrt(1 + eps) * 0 + 0 == 0
+                mean = jnp.pad(mean, (0, width - self.features))
+                var = jnp.pad(var, (0, width - self.features), constant_values=1.0)
 
-        shape = (1,) * (x.ndim - 1) + (self.features,)
+        shape = (1,) * (x.ndim - 1) + (width,)
         inv = jax.lax.rsqrt(var + self.epsilon)
         return (x - mean.reshape(shape)) * (inv * scale).reshape(shape) + bias.reshape(shape)
 
@@ -110,6 +129,36 @@ def _conv_init(k: int, cin: int):
     # torchsparse 1.2 Conv3d init: U(-s, s) with s = sqrt(1 / (k^3 * cin))-ish;
     # exact constant is immaterial for from-scratch training.
     return torch_uniform(k * cin)
+
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def pad_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the channel dim to the next 128 multiple (TPU lane width).
+
+    The sparse encoders keep activations in this padded layout end-to-end:
+    the banded Pallas kernels need 128-lane operands anyway, and doing the
+    pad once at the encoder entry (instead of a pad + slice round-trip per
+    conv) removed ~25 ms/step of dynamic-update-slice copies (profiled).
+    Padding lanes stay exactly zero through convs (zero kernel rows/cols),
+    BatchNorm (zero-padded scale/bias) and ReLU.
+    """
+    c = x.shape[-1]
+    p = _pad128(c)
+    return x if p == c else jnp.pad(x, ((0, 0), (0, p - c)))
+
+
+def _pad_kernel(kernel: jnp.ndarray, cin_pad: int, cout_pad: int) -> jnp.ndarray:
+    """Zero-pad conv weights [K, Cin, Cout] to the padded activation widths.
+
+    Differentiable: autodiff of the pad slices dW back to the real param
+    shape, so checkpoints and init keep the reference shapes."""
+    k, cin, cout = kernel.shape
+    if cin == cin_pad and cout == cout_pad:
+        return kernel
+    return jnp.pad(kernel, ((0, 0), (0, cin_pad - cin), (0, cout_pad - cout)))
 
 
 class SubMConv3(nn.Module):
@@ -125,28 +174,35 @@ class SubMConv3(nn.Module):
 
     features: int
     use_bias: bool = False  # spnn.Conv3d has no bias by default
+    # real input channel count; activations arrive lane-padded (pad_lanes),
+    # so the param shape cannot be read off the data
+    in_features: Optional[int] = None
 
     @nn.compact
     def __call__(
         self, feats: jnp.ndarray, sv: SparseStage, use_pallas: bool = False
     ) -> jnp.ndarray:
-        cin = feats.shape[-1]
+        cin = self.in_features if self.in_features is not None else feats.shape[-1]
         kernel = self.param("kernel", _conv_init(27, cin), (27, cin, self.features))
+        # padded-lane regime: weights padded to the activation widths, output
+        # stays padded — no per-conv activation pad/slice round-trips
+        kernel_p = _pad_kernel(kernel, feats.shape[-1], _pad128(self.features))
         if use_pallas and sv.ws3 is not None:
             from instancerefer_tpu.ops.pallas_conv import banded_subm_conv
             from instancerefer_tpu.ops.precision import cast_in
 
             out = banded_subm_conv(
-                cast_in(feats), sv.nbr3, cast_in(kernel), sv.ws3, sv.wsk3,
+                cast_in(feats), sv.nbr3, cast_in(kernel_p), sv.ws3, sv.wsk3,
                 window=sv.pallas_window, chunk=sv.pallas_chunk,
                 subwin=sv.pallas_subwin,
             )
         else:
             # custom VJP: backward is a mirrored-offset gather, not XLA's
             # scatter-add (several times faster on TPU)
-            out = subm_gather_conv(feats, sv.nbr3, kernel)
+            out = subm_gather_conv(feats, sv.nbr3, kernel_p)
         if self.use_bias:
-            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + jnp.pad(bias, (0, out.shape[-1] - self.features))
         return out
 
 
@@ -154,16 +210,18 @@ class DownConv2(nn.Module):
     """2^3 stride-2 sparse conv: previous stage rows -> this stage rows."""
 
     features: int
+    in_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, feats_prev: jnp.ndarray, sv: SparseStage) -> jnp.ndarray:
-        cin = feats_prev.shape[-1]
+        cin = self.in_features if self.in_features is not None else feats_prev.shape[-1]
         kernel = self.param("kernel", _conv_init(8, cin), (8, cin, self.features))
+        kernel_p = _pad_kernel(kernel, feats_prev.shape[-1], _pad128(self.features))
         # inverse-map custom VJP: the stride-2 backward is a gather, not
         # XLA's scatter-add; forward goes banded Pallas when the batch
         # carries down-map window metadata (ops/sparse.down_gather_conv)
         return down_gather_conv(
-            feats_prev, sv.down, sv.up_row, sv.up_k, kernel,
+            feats_prev, sv.down, sv.up_row, sv.up_k, kernel_p,
             sv.wsd, sv.wskd,
             window=sv.pallas_down_window, chunk=sv.pallas_down_chunk,
             subwin=sv.pallas_down_subwin,
@@ -175,15 +233,20 @@ class BasicConvolutionBlock(nn.Module):
 
     features: int
     ks: int = 3  # 3 => submanifold stride 1; 2 => stride-2 downsample
+    in_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
         if self.ks == 3:
             # banded Pallas whenever the batch carries window metadata — the
             # custom banded VJP makes it valid for training too
-            x = SubMConv3(self.features, name="conv")(feats, sv, use_pallas=True)
+            x = SubMConv3(self.features, in_features=self.in_features, name="conv")(
+                feats, sv, use_pallas=True
+            )
         elif self.ks == 2:
-            x = DownConv2(self.features, name="conv")(feats, sv)
+            x = DownConv2(self.features, in_features=self.in_features, name="conv")(
+                feats, sv
+            )
         else:
             raise ValueError(f"unsupported kernel size {self.ks}")
         x = MaskedBatchNorm(self.features, name="bn")(
@@ -201,11 +264,12 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
-        x = SubMConv3(self.features, name="conv1")(feats, sv, use_pallas=True)
-        x = MaskedBatchNorm(self.features, name="bn1")(x, sv.mask, train=train, momentum=bn_momentum)
+        f = self.features
+        x = SubMConv3(f, in_features=f, name="conv1")(feats, sv, use_pallas=True)
+        x = MaskedBatchNorm(f, name="bn1")(x, sv.mask, train=train, momentum=bn_momentum)
         x = nn.relu(x)
-        x = SubMConv3(self.features, name="conv2")(x, sv, use_pallas=True)
-        x = MaskedBatchNorm(self.features, name="bn2")(x, sv.mask, train=train, momentum=bn_momentum)
+        x = SubMConv3(f, in_features=f, name="conv2")(x, sv, use_pallas=True)
+        x = MaskedBatchNorm(f, name="bn2")(x, sv.mask, train=train, momentum=bn_momentum)
         return nn.relu(x + feats)
 
 
@@ -221,17 +285,22 @@ class SparseConvEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats, pyramid: Sequence[SparseStage], *, train: bool, bn_momentum: float = 0.1):
         w = self.widths
-        x = BasicConvolutionBlock(w[0], ks=3, name="stem")(
-            feats, pyramid[0], train=train, bn_momentum=bn_momentum
+        cin = feats.shape[-1]
+        # activations run lane-padded through the whole encoder (one pad
+        # here instead of a pad + slice round-trip per conv); param shapes
+        # stay at the real widths via in_features
+        x = pad_lanes(feats)
+        x = BasicConvolutionBlock(w[0], ks=3, in_features=cin, name="stem")(
+            x, pyramid[0], train=train, bn_momentum=bn_momentum
         )
         for i in range(1, 5):
-            x = BasicConvolutionBlock(w[i], ks=2, name=f"stage{i}_down")(
-                x, pyramid[i], train=train, bn_momentum=bn_momentum
-            )
+            x = BasicConvolutionBlock(
+                w[i], ks=2, in_features=w[i - 1], name=f"stage{i}_down"
+            )(x, pyramid[i], train=train, bn_momentum=bn_momentum)
             x = ResidualBlock(w[i], name=f"stage{i}_res")(
                 x, pyramid[i], train=train, bn_momentum=bn_momentum
             )
-        return x
+        return x[:, : w[-1]]
 
 
 class BEVEncoder(SparseConvEncoder):

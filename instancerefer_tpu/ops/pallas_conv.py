@@ -351,6 +351,121 @@ def windowed_conv_bwd_fused(
     return dx, dw
 
 
+def _dw_kernel(
+    ws_ref, wskt_ref, nbr_ref, g_ref, feats_hbm, dw_ref, win, sem,
+    *, chunk, window, subwin, k_offsets,
+):
+    """dW[k] = sum_v feats[nbr(v,k)]^T g[v], banded.
+
+    Used for the stride-2 down conv's weight gradient: its dX comes from the
+    host-inverted up map (ops/sparse.down_gather_conv), but dW needs the
+    gathered-feats rows — the same banded one-hot gather as the forward, so
+    the same (wsd, wskt) metadata drives it.  The output block index is
+    constant across the (sequential) grid, so dw accumulates in VMEM.
+    """
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    def dma(slot, chunk_idx):
+        start = pl.multiple_of(ws_ref[chunk_idx], 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window), :], win.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    @pl.when((i == 0) & (ws_ref[0] >= 0))
+    def _():
+        dma(0, 0).start()
+
+    @pl.when((i + 1 < n_chunks) & (ws_ref[jnp.minimum(i + 1, n_chunks - 1)] >= 0))
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    @pl.when(ws_ref[i] >= 0)
+    def _():
+        dma(i % 2, i).wait()
+        slot = i % 2
+        ws = ws_ref[i]
+        dtype = win.dtype
+        g = g_ref[...].astype(dtype)  # [chunk, Cout]
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
+        for k in range(k_offsets):
+            base = wskt_ref[k, i]
+            off = pl.multiple_of(base - ws, 16)
+            sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cin]
+            g_idx = nbr_ref[:, k]
+            local = g_idx - base
+            valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
+            safe = jnp.where(valid, local, -1)
+            oh = (col == safe[:, None]).astype(dtype)
+            rows = jnp.dot(oh, sub, preferred_element_type=jnp.float32)
+            contrib = jax.lax.dot_general(
+                rows.astype(dtype), g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Cin, Cout]
+            dw_ref[k, :, :] += contrib
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "chunk", "subwin", "interpret")
+)
+def windowed_conv_dw(
+    feats: jnp.ndarray,
+    nbr: jnp.ndarray,
+    g: jnp.ndarray,
+    window_start: jnp.ndarray,
+    offset_window_start: jnp.ndarray,
+    *,
+    window: int,
+    chunk: int,
+    subwin: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dW[k] = sum_v feats[nbr[v, k]]^T g[v] (banded).  Returns
+    [K, Cin_pad, Cout_pad] f32 at the padded operand widths."""
+    v_out, k = nbr.shape
+    assert v_out % chunk == 0, (v_out, chunk)
+    n_chunks = v_out // chunk
+    cin = feats.shape[-1]
+    cout = g.shape[-1]
+    cin_pad = -(-cin // 128) * 128
+    cout_pad = -(-cout // 128) * 128
+    if cin_pad != cin:
+        feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
+    if cout_pad != cout:
+        g = jnp.pad(g, ((0, 0), (0, cout_pad - cout)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, k), lambda i, ws, wskt: (i, 0)),  # nbr
+            pl.BlockSpec((chunk, cout_pad), lambda i, ws, wskt: (i, 0)),  # g
+            pl.BlockSpec(memory_space=pl.ANY),  # feats in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (k, cin_pad, cout_pad), lambda i, ws, wskt: (0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, cin_pad), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(
+            _dw_kernel, chunk=chunk, window=window, subwin=subwin, k_offsets=k
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, cin_pad, cout_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    return fn(window_start, offset_window_start, nbr, g, feats)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _banded_core(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk):
     return windowed_gather_conv(

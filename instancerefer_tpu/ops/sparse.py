@@ -274,12 +274,31 @@ def _down_conv_banded_fwd(window, chunk, subwin, interpret, feats, down,
         window, chunk, subwin, interpret, feats, down, up_row, up_k, kernel,
         wsd, wskd
     )
-    return out, (feats, down, up_row, up_k, kernel)
+    return out, (feats, down, up_row, up_k, kernel, wsd, wskd)
 
 
 def _down_conv_banded_bwd(window, chunk, subwin, interpret, res, g):
-    dx, _, _, _, dw = _down_conv_bwd(res, g)
-    return dx, None, None, None, dw, None, None
+    """dX through the host-inverted up map (a single gather + K masked
+    GEMMs); dW through the banded dW kernel — it reuses the forward's band
+    metadata, replacing K full-size einsum passes over the previous stage
+    (measured ~17 ms/step of the scene backward) with one banded pass."""
+    feats, down, up_row, up_k, kernel, wsd, wskd = res
+    from instancerefer_tpu.ops.pallas_conv import windowed_conv_dw
+
+    g32 = g.astype(jnp.float32)
+    gc = cast_in(g32)
+    k = kernel.shape[0]
+    tmp = gather_rows(gc, up_row)  # [V_in, Cout]
+    w_t = jnp.transpose(cast_in(kernel), (0, 2, 1))  # [K, Cout, Cin]
+    dx = jnp.zeros((feats.shape[0], kernel.shape[1]), jnp.float32)
+    for i in range(k):
+        sel = (up_k == i)[:, None].astype(tmp.dtype)
+        dx = dx + jnp.dot(tmp * sel, w_t[i], preferred_element_type=jnp.float32)
+    dw = windowed_conv_dw(
+        cast_in(feats), down, gc, wsd, wskd,
+        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+    )[:, : kernel.shape[1], : kernel.shape[2]].astype(kernel.dtype)
+    return dx.astype(feats.dtype), None, None, None, dw, None, None
 
 
 _down_conv_banded_core.defvjp(_down_conv_banded_fwd, _down_conv_banded_bwd)
