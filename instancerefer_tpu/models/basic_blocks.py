@@ -341,10 +341,16 @@ class ToDenseBEVConvolution(nn.Module):
         h, w = self.bev_shape
         stride = sv.stride
         zbin = jnp.clip(sv.coords[:, 2] // stride, 0, self.n_kernels - 1)
-        per_row_kernel = jnp.take(kernel, zbin, axis=0)  # [V, Cin, Cout]
-        rows = jnp.einsum(
-            "vc,vcd->vd", feats, per_row_kernel, preferred_element_type=jnp.float32
-        )
+        # per-z-bin kernel as n_kernels masked GEMMs: a jnp.take(kernel, zbin)
+        # + einsum materializes a [V, Cin, Cout] tensor (2.1 GB at production
+        # shapes — profiled at ~20 ms/step across fwd+bwd); the masked form
+        # is pure [V, Cin] @ [Cin, Cout] matmuls
+        rows = jnp.zeros((feats.shape[0], self.out_channels), jnp.float32)
+        for z in range(self.n_kernels):
+            sel = (zbin == z)[:, None].astype(feats.dtype)
+            rows = rows + jnp.dot(
+                feats * sel, kernel[z], preferred_element_type=jnp.float32
+            )
         bx = jnp.clip(sv.coords[:, 0] // stride, 0, h - 1)
         by = jnp.clip(sv.coords[:, 1] // stride, 0, w - 1)
         b = jnp.maximum(sv.owner, 0)
