@@ -96,6 +96,9 @@ class Config:
     pallas_down_window: Sequence[int] = (0, 1536, 1024, 1024, 512)
     pallas_down_subwin_inst: Sequence[int] = (0, 256, 384, 0, 0)
     pallas_down_window_inst: Sequence[int] = (0, 512, 512, 0, 0)
+    # inverse (up) map bands driving the banded down-conv dX
+    pallas_up_window: int = 512
+    pallas_up_subwin: int = 384
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"
@@ -161,6 +164,8 @@ class Config:
             pallas_down_window=_seq(self.pallas_down_window),
             pallas_down_subwin_inst=_seq(self.pallas_down_subwin_inst),
             pallas_down_window_inst=_seq(self.pallas_down_window_inst),
+            pallas_up_window=self.pallas_up_window,
+            pallas_up_subwin=self.pallas_up_subwin,
         )
 
     # ---- reference path tree (lib/config.py:34-70)

@@ -68,6 +68,11 @@ class BatchSpec:
     pallas_down_window: Sequence[int] = (0, 1536, 1024, 1024, 512)
     pallas_down_subwin_inst: Sequence[int] = (0, 256, 384, 0, 0)
     pallas_down_window_inst: Sequence[int] = (0, 512, 512, 0, 0)
+    # banded geometry for the INVERSE (up) maps that drive the down-conv dX:
+    # each previous-stage row has at most one target, so bands are tiny
+    # (measured minima <= 288 at chunk 256 across stages/prefixes)
+    pallas_up_window: int = 512
+    pallas_up_subwin: int = 384
 
     @staticmethod
     def _profile(prof, stage):
@@ -377,7 +382,6 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                 from instancerefer_tpu.ops.voxelize import invert_down
 
                 up_row, up_k = invert_down(down, prev_v)
-            prev_v = nbr3.shape[0]
             owner = batch[f"{prefix}_owner_{s}"]
             ws3 = wsk3 = None
             v = nbr3.shape[0]
@@ -398,6 +402,7 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                 else:
                     ws3, wsk3 = res
             wsd = wskd = None
+            up8 = wsu = wsktu = None
             d_chunk, d_window, d_subwin = spec.down_geom_for(s, prefix)
             if (
                 s > 0
@@ -416,6 +421,24 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     total += t
                 else:
                     wsd, wskd = res
+                # inverse-map (up) bands for the banded down-conv dX:
+                # up8[u, k] = this-stage row u feeds at offset k, else -1
+                if prev_v % spec.pallas_chunk == 0 and v >= spec.pallas_up_window:
+                    up8 = np.where(
+                        up_k[:, None] == np.arange(8, dtype=np.int32)[None, :],
+                        up_row[:, None], -1,
+                    ).astype(np.int32)
+                    res = compute_offset_window_starts(
+                        up8, spec.pallas_chunk, spec.pallas_up_window,
+                        spec.pallas_up_subwin, v,
+                        count_drops=spec.pallas_count_drops,
+                    )
+                    if spec.pallas_count_drops:
+                        wsu, wsktu, d, t = res
+                        dropped += d
+                        total += t
+                    else:
+                        wsu, wsktu = res
             stages.append(
                 SparseStage(
                     coords=batch[f"{prefix}_coords_{s}"],
@@ -430,14 +453,21 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     up_k=up_k,
                     wsd=wsd,
                     wskd=wskd,
+                    up8=up8,
+                    wsu=wsu,
+                    wsktu=wsktu,
                     pallas_chunk=spec.pallas_chunk if ws3 is not None else 0,
                     pallas_window=spec.pallas_window if ws3 is not None else 0,
                     pallas_subwin=subwin if ws3 is not None else 0,
                     pallas_down_chunk=d_chunk if wsd is not None else 0,
                     pallas_down_window=d_window if wsd is not None else 0,
                     pallas_down_subwin=d_subwin if wsd is not None else 0,
+                    pallas_up_chunk=spec.pallas_chunk if wsu is not None else 0,
+                    pallas_up_window=spec.pallas_up_window if wsu is not None else 0,
+                    pallas_up_subwin=spec.pallas_up_subwin if wsu is not None else 0,
                 )
             )
+            prev_v = v
         return tuple(stages), np.float32(dropped / max(total, 1))
 
     dd["scene_pyramid"], scene_bd = pyramid("scene")

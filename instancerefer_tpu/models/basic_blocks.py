@@ -222,9 +222,11 @@ class DownConv2(nn.Module):
         # carries down-map window metadata (ops/sparse.down_gather_conv)
         return down_gather_conv(
             feats_prev, sv.down, sv.up_row, sv.up_k, kernel_p,
-            sv.wsd, sv.wskd,
+            sv.wsd, sv.wskd, sv.up8, sv.wsu, sv.wsktu,
             window=sv.pallas_down_window, chunk=sv.pallas_down_chunk,
             subwin=sv.pallas_down_subwin,
+            up_chunk=sv.pallas_up_chunk,
+            up_window=sv.pallas_up_window, up_subwin=sv.pallas_up_subwin,
         )
 
 

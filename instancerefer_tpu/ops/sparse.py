@@ -79,6 +79,12 @@ class SparseStage:
     # banded metadata for the stride-2 ``down`` map (None = XLA gather path)
     wsd: Optional[jnp.ndarray] = None
     wskd: Optional[jnp.ndarray] = None
+    # inverse map as an 8-offset neighbor table (up8[u, k] = the row of THIS
+    # stage that previous-stage row u feeds at offset k, else -1) + its band
+    # metadata — drives the banded down-conv dX
+    up8: Optional[jnp.ndarray] = None
+    wsu: Optional[jnp.ndarray] = None
+    wsktu: Optional[jnp.ndarray] = None
     # static banded-conv geometry (must match what the pipeline used when
     # computing ws3/wsk3 and wsd/wskd); 0 = unset
     pallas_chunk: int = struct.field(pytree_node=False, default=0)
@@ -87,6 +93,9 @@ class SparseStage:
     pallas_down_chunk: int = struct.field(pytree_node=False, default=0)
     pallas_down_window: int = struct.field(pytree_node=False, default=0)
     pallas_down_subwin: int = struct.field(pytree_node=False, default=0)
+    pallas_up_chunk: int = struct.field(pytree_node=False, default=0)
+    pallas_up_window: int = struct.field(pytree_node=False, default=0)
+    pallas_up_subwin: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
@@ -257,9 +266,10 @@ def _down_conv_bwd(res, g):
 _down_conv_core.defvjp(_down_conv_fwd, _down_conv_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _down_conv_banded_core(window, chunk, subwin, interpret, feats, down,
-                           up_row, up_k, kernel, wsd, wskd):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _down_conv_banded_core(window, chunk, subwin, up_chunk, up_window,
+                           up_subwin, interpret, feats, down, up_row, up_k,
+                           kernel, wsd, wskd, up8, wsu, wsktu):
     from instancerefer_tpu.ops.pallas_conv import windowed_gather_conv
 
     return windowed_gather_conv(
@@ -268,37 +278,58 @@ def _down_conv_banded_core(window, chunk, subwin, interpret, feats, down,
     )
 
 
-def _down_conv_banded_fwd(window, chunk, subwin, interpret, feats, down,
-                          up_row, up_k, kernel, wsd, wskd):
+def _down_conv_banded_fwd(window, chunk, subwin, up_chunk, up_window,
+                          up_subwin, interpret, feats, down, up_row, up_k,
+                          kernel, wsd, wskd, up8, wsu, wsktu):
     out = _down_conv_banded_core(
-        window, chunk, subwin, interpret, feats, down, up_row, up_k, kernel,
-        wsd, wskd
+        window, chunk, subwin, up_chunk, up_window, up_subwin, interpret,
+        feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu
     )
-    return out, (feats, down, up_row, up_k, kernel, wsd, wskd)
+    return out, (feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu)
 
 
-def _down_conv_banded_bwd(window, chunk, subwin, interpret, res, g):
-    """dX through the host-inverted up map (a single gather + K masked
-    GEMMs); dW through the banded dW kernel — it reuses the forward's band
-    metadata, replacing K full-size einsum passes over the previous stage
-    (measured ~17 ms/step of the scene backward) with one banded pass."""
-    feats, down, up_row, up_k, kernel, wsd, wskd = res
-    from instancerefer_tpu.ops.pallas_conv import windowed_conv_dw
+def _down_conv_banded_bwd(window, chunk, subwin, up_chunk, up_window,
+                          up_subwin, interpret, res, g):
+    """Both gradient legs go through banded kernels:
+
+    dW reuses the forward's (wsd, wskd) band metadata — one windowed pass
+    instead of K full-size einsum passes over the previous stage (~17 ms of
+    the scene backward).  dX runs the forward kernel over the INVERSE map
+    (up8: each previous-stage row feeds at most one (row, offset) of this
+    stage) with W^T — replacing a row-gather plus K full-size masked GEMM
+    passes (~10 ms more).  When up-band metadata is absent, dX falls back to
+    the gather + masked-GEMM form.
+    """
+    feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu = res
+    from instancerefer_tpu.ops.pallas_conv import (
+        windowed_conv_dw,
+        windowed_gather_conv,
+    )
 
     g32 = g.astype(jnp.float32)
     gc = cast_in(g32)
     k = kernel.shape[0]
-    tmp = gather_rows(gc, up_row)  # [V_in, Cout]
     w_t = jnp.transpose(cast_in(kernel), (0, 2, 1))  # [K, Cout, Cin]
-    dx = jnp.zeros((feats.shape[0], kernel.shape[1]), jnp.float32)
-    for i in range(k):
-        sel = (up_k == i)[:, None].astype(tmp.dtype)
-        dx = dx + jnp.dot(tmp * sel, w_t[i], preferred_element_type=jnp.float32)
+    if up8 is not None and wsu is not None:
+        dx = windowed_gather_conv(
+            gc, up8, w_t, wsu, wsktu,
+            window=up_window, chunk=up_chunk, subwin=up_subwin,
+            interpret=interpret,
+        )[:, : kernel.shape[1]]
+    else:
+        tmp = gather_rows(gc, up_row)  # [V_in, Cout]
+        dx = jnp.zeros((feats.shape[0], kernel.shape[1]), jnp.float32)
+        for i in range(k):
+            sel = (up_k == i)[:, None].astype(tmp.dtype)
+            dx = dx + jnp.dot(
+                tmp * sel, w_t[i], preferred_element_type=jnp.float32
+            )
     dw = windowed_conv_dw(
         cast_in(feats), down, gc, wsd, wskd,
         window=window, chunk=chunk, subwin=subwin, interpret=interpret,
     )[:, : kernel.shape[1], : kernel.shape[2]].astype(kernel.dtype)
-    return dx.astype(feats.dtype), None, None, None, dw, None, None
+    return (dx.astype(feats.dtype), None, None, None, dw, None, None, None,
+            None, None)
 
 
 _down_conv_banded_core.defvjp(_down_conv_banded_fwd, _down_conv_banded_bwd)
@@ -312,10 +343,16 @@ def down_gather_conv(
     kernel: jnp.ndarray,
     wsd=None,
     wskd=None,
+    up8=None,
+    wsu=None,
+    wsktu=None,
     *,
     window: int = 0,
     chunk: int = 0,
     subwin: int = 0,
+    up_chunk: int = 0,
+    up_window: int = 0,
+    up_subwin: int = 0,
     interpret: bool = False,
 ):
     """2^3 stride-2 conv with the inverse-map (scatter-free) backward.
@@ -331,8 +368,8 @@ def down_gather_conv(
         return gather_conv(feats, down, kernel)
     if wsd is not None and wskd is not None and subwin > 0:
         return _down_conv_banded_core(
-            window, chunk, subwin, interpret, feats, down, up_row, up_k,
-            kernel, wsd, wskd
+            window, chunk, subwin, up_chunk, up_window, up_subwin, interpret,
+            feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu
         )
     return _down_conv_core(feats, down, up_row, up_k, kernel)
 

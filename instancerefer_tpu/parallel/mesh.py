@@ -60,7 +60,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
 
     def place(path, x):
         transposed = any(
-            getattr(p, "name", None) in ("wsk3", "wskd") for p in path
+            getattr(p, "name", None) in ("wsk3", "wskd", "wsktu") for p in path
         )
         return jax.device_put(x, sh_t if transposed else sh)
 

@@ -134,8 +134,9 @@ def test_down_conv_custom_vjp_matches_autodiff(rng):
 
 
 def test_banded_down_conv_matches_xla(rng):
-    """The banded Pallas down-conv forward (+ inverse-map backward) must
-    match the XLA gather path and its grads."""
+    """The banded Pallas down-conv forward + banded inverse-map backward
+    (dX over the up8 table, dW over the down bands) must match the XLA
+    gather path and its grads."""
     import jax
 
     from instancerefer_tpu.ops.sparse import down_gather_conv
@@ -145,36 +146,40 @@ def test_banded_down_conv_matches_xla(rng):
     keys = V.pack_coords(coords)
     coords = coords[np.argsort(keys)]
     out_coords, down = V.build_downsample(coords, stride=1)
-    # raster-sort the outputs too (as build_pyramid does)
     order = np.argsort(V.pack_coords(out_coords))
     down = down[order]
-    v_out = len(down)
     chunk = 64
-    pad = (-v_out) % chunk
-    down = np.concatenate([down, np.full((pad, 8), -1, np.int32)])
-    v_out = len(down)
+    # pad both stages to chunk multiples (the pipeline's caps guarantee this)
+    v_prev = len(coords) + ((-len(coords)) % chunk)
+    v_out = down.shape[0] + ((-down.shape[0]) % chunk)
+    down = np.concatenate([down, np.full((v_out - down.shape[0], 8), -1, np.int32)])
 
-    up_row = np.full(len(coords), -1, np.int32)
-    up_k = np.full(len(coords), -1, np.int32)
-    vv, kk = np.nonzero(down >= 0)
-    tgt = down[vv, kk]
-    up_row[tgt] = vv.astype(np.int32)
-    up_k[tgt] = kk.astype(np.int32)
+    up_row, up_k = V.invert_down(down, v_prev)
+    up8 = np.where(
+        up_k[:, None] == np.arange(8, dtype=np.int32)[None, :],
+        up_row[:, None], -1,
+    ).astype(np.int32)
 
     window, subwin = 1024, 512
-    wsd, wskd = V.compute_offset_window_starts(
-        down, chunk, window, subwin, len(coords)
-    )
-    x = jnp.asarray(rng2.normal(size=(len(coords), 16)).astype(np.float32))
+    wsd, wskd = V.compute_offset_window_starts(down, chunk, window, subwin, v_prev)
+    up_window, up_subwin = 512, 384
+    wsu, wsktu = V.compute_offset_window_starts(up8, chunk, up_window, up_subwin, v_out)
+
+    x = np.zeros((v_prev, 16), np.float32)
+    x[: len(coords)] = rng2.normal(size=(len(coords), 16))
+    x = jnp.asarray(x)
     w = jnp.asarray((rng2.normal(size=(8, 16, 8)) * 0.1).astype(np.float32))
     g = jnp.asarray(rng2.normal(size=(v_out, 8)).astype(np.float32))
-    jd, jur, juk = map(jnp.asarray, (down, up_row, up_k))
+    jd, jur, juk, jup8 = map(jnp.asarray, (down, up_row, up_k, up8))
     jwsd, jwskd = jnp.asarray(wsd), jnp.asarray(wskd)
+    jwsu, jwsktu = jnp.asarray(wsu), jnp.asarray(wsktu)
 
     def banded(x, w):
         return down_gather_conv(
-            x, jd, jur, juk, w, jwsd, jwskd,
-            window=window, chunk=chunk, subwin=subwin, interpret=True,
+            x, jd, jur, juk, w, jwsd, jwskd, jup8, jwsu, jwsktu,
+            window=window, chunk=chunk, subwin=subwin,
+            up_chunk=chunk, up_window=up_window, up_subwin=up_subwin,
+            interpret=True,
         )
 
     out = banded(x, w)
