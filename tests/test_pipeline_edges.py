@@ -81,3 +81,58 @@ def test_pallas_window_fields_only_when_enabled(rng):
 
     dd_off = batch_to_device_dict(collate(samples, spec_on), TEST_SPEC)
     assert dd_off["scene_pyramid"][0].ws3 is None
+
+
+def test_down_and_up_band_metadata_emitted(rng):
+    """With banding on, stages carry down-map and inverse-map band metadata
+    and the batch reports a (zero) band-drop fraction."""
+    from instancerefer_tpu.data.pipeline import batch_to_device_dict
+
+    spec_on = dataclasses.replace(
+        TEST_SPEC,
+        pallas_conv=True, pallas_chunk=64, pallas_window=256, pallas_subwin=128,
+        pallas_down_chunk=64,
+        pallas_down_subwin=(0, 256, 0, 0, 0),
+        pallas_down_window=(0, 512, 0, 0, 0),
+        pallas_down_subwin_inst=(0, 256, 0, 0, 0),
+        pallas_down_window_inst=(0, 512, 0, 0, 0),
+        pallas_up_window=256, pallas_up_subwin=128,
+        scene_caps=(1024, 512, 256, 256, 256),
+        inst_caps=(1024, 512, 256, 256, 256),
+    )
+    samples = [pad_sample(make_core_sample(rng), spec_on) for _ in range(2)]
+    dd = batch_to_device_dict(collate(samples, spec_on), spec_on)
+    s1 = dd["scene_pyramid"][1]
+    assert s1.wsd is not None and s1.wskd is not None
+    assert s1.wskd.shape[0] == 8  # [K, n_chunks] SMEM layout
+    assert s1.up8 is not None and s1.wsu is not None and s1.wsktu is not None
+    assert s1.up8.shape == (2 * 1024, 8)
+    assert s1.pallas_up_chunk == 64
+    # deeper stages: down banding disabled by the 0 profile entries
+    assert dd["scene_pyramid"][2].wsd is None
+    assert "scene_band_drop" in dd and float(dd["scene_band_drop"]) == 0.0
+
+
+def test_solver_band_drop_warning(tmp_path):
+    """The epoch report warns loudly when any banded conv dropped neighbors."""
+    from instancerefer_tpu.train.solver import Solver
+
+    class _Shell(Solver):  # bypass the heavy constructor
+        def __init__(self, out):
+            self._log_path = str(out / "log.txt")
+
+        def _log(self, msg):
+            with open(self._log_path, "a") as f:
+                f.write(msg + "\n")
+
+    s = _Shell(tmp_path)
+    s._report_overflow("train", {"scene": [0.0], "inst": [0.0], "band": [0.002]})
+    text = open(s._log_path).read()
+    assert "banded Pallas conv dropped neighbors" in text
+    assert "0.200%" in text
+
+    s2 = _Shell(tmp_path / "clean")
+    (tmp_path / "clean").mkdir()
+    s2._report_overflow("train", {"scene": [0.0], "inst": [0.0], "band": [0.0]})
+    import os
+    assert not os.path.exists(s2._log_path) or "dropped" not in open(s2._log_path).read()
