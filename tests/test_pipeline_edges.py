@@ -77,7 +77,8 @@ def test_pallas_window_fields_only_when_enabled(rng):
     st0 = dd["scene_pyramid"][0]
     assert st0.ws3 is not None and st0.wsk3 is not None
     assert st0.ws3.shape == (2 * 1024 // 64,)
-    assert (np.asarray(st0.ws3) % 16 == 0).all()
+    ws3 = np.asarray(st0.ws3)
+    assert (ws3[ws3 >= 0] % 16 == 0).all()  # -1 marks all-padding chunks
 
     dd_off = batch_to_device_dict(collate(samples, spec_on), TEST_SPEC)
     assert dd_off["scene_pyramid"][0].ws3 is None
