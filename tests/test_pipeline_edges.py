@@ -137,3 +137,51 @@ def test_solver_band_drop_warning(tmp_path):
     s2._report_overflow("train", {"scene": [0.0], "inst": [0.0], "band": [0.0]})
     import os
     assert not os.path.exists(s2._log_path) or "dropped" not in open(s2._log_path).read()
+
+
+def test_calibrate_bands_helpers(rng):
+    """scripts/calibrate_bands: minima/rounding logic on a known map."""
+    import importlib.util
+    import os
+
+    spec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "calibrate_bands.py",
+    )
+    spec_mod = importlib.util.spec_from_file_location("calibrate_bands", spec_path)
+    cb = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(cb)
+
+    # identity map: each row's only neighbor is itself -> minimal band is
+    # one chunk (+ alignment slack)
+    v, chunk = 512, 64
+    nbr = np.full((v, 27), -1, np.int32)
+    nbr[:, 13] = np.arange(v)
+    m = cb.min_subwin(nbr, chunk)
+    assert chunk <= m <= chunk + cb.ALIGN
+    assert cb.recommend(m, margin=32) == 128
+    assert cb.recommend(0, margin=32) == 0
+    assert cb.recommend(300, margin=32) == 384
+
+    # calibrate() aggregates the max over batches and prefixes
+    batch = {}
+    for prefix, n in (("scene", 512), ("inst", 256)):
+        for s in range(2):
+            rows = n >> s
+            eye = np.full((rows, 27), -1, np.int32)
+            eye[:, 13] = np.arange(rows)
+            batch[f"{prefix}_nbr3_{s}"] = eye
+            if s > 0:
+                d = np.full((rows, 8), -1, np.int32)
+                d[:, 0] = np.arange(rows) * 2
+                batch[f"{prefix}_down_{s}"] = d
+
+    class _Spec:
+        num_stages = 2
+        pallas_chunk = 64
+        pallas_down_chunk = 64
+
+    subm, down, up = cb.calibrate([batch], _Spec(), margin=16)
+    assert subm[("scene", 0)] >= 64
+    assert down[("scene", 1)] >= 64
+    assert up[("scene", 1)] >= 32  # 2:1 compression halves the up span
