@@ -80,6 +80,13 @@ def main(batch_size: int = 32, iters: int = 20):
         mean_size_arr=mean_size,
     )
     batch = batch_to_device_dict(np_batch, spec)
+    # 0-d host diagnostics must not enter jitted steps (cannot shard; the
+    # solver pops them the same way) — read + surface them here instead
+    band_drops = [
+        float(batch.pop(k, 0.0)) for k in ("scene_band_drop", "inst_band_drop")
+    ]
+    if any(d > 0 for d in band_drops):
+        print(f"[bench] WARNING: banded conv dropped neighbors {band_drops}", file=sys.stderr)
     print(f"[bench] data built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     model = InstanceRefer(
@@ -195,7 +202,10 @@ def main(batch_size: int = 32, iters: int = 20):
         def build_batch(_):
             with ThreadPoolExecutor(4) as pool:
                 padded = list(pool.map(lambda c: pad_sample(c, spec), cores, chunksize=2))
-            return batch_to_device_dict(collate(padded, spec), spec)
+            dd = batch_to_device_dict(collate(padded, spec), spec)
+            dd.pop("scene_band_drop", None)
+            dd.pop("inst_band_drop", None)
+            return dd
 
         warm = eval_step(variables, jax.device_put(build_batch(0)))
         np.asarray(warm[0])

@@ -118,22 +118,20 @@ class Config:
             return v if isinstance(v, int) or v is None else tuple(v)
 
         use_pallas = bool(self.pallas_conv)
+        data_shards = 1
         if use_pallas:
             # Mosaic kernels need a real TPU backend; CPU/GPU fall back to the
             # XLA gather-GEMM path (identical math, tested in
-            # tests/test_pallas_conv.py).  Multi-device meshes also take the
-            # XLA path: GSPMD partitions its gathers cleanly along the data
-            # axis, whereas a pallas_call's global row indices would need the
-            # shard_map + index-localization integration (harness proven in
-            # tests/test_multichip.py; blocked on running the real kernels
-            # under shard_map, which this jax's interpret mode mis-shards).
+            # tests/test_pallas_conv.py).  Multi-device meshes run the banded
+            # kernels shard_map'd over the data axis with block-clamped,
+            # per-shard-localized band metadata (ops/pallas_conv sharded
+            # wrappers; equality vs the global conv tested on the fake
+            # 8-device CPU mesh in tests/test_multichip.py).
             try:
                 import jax
 
-                use_pallas = (
-                    jax.default_backend() not in ("cpu", "gpu")
-                    and len(jax.devices()) == 1
-                )
+                use_pallas = jax.default_backend() not in ("cpu", "gpu")
+                data_shards = len(jax.devices()) if use_pallas else 1
             except Exception:
                 use_pallas = False
         return BatchSpec(
@@ -166,6 +164,7 @@ class Config:
             pallas_down_window_inst=_seq(self.pallas_down_window_inst),
             pallas_up_window=self.pallas_up_window,
             pallas_up_subwin=self.pallas_up_subwin,
+            data_shards=data_shards,
         )
 
     # ---- reference path tree (lib/config.py:34-70)

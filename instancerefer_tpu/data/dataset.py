@@ -35,6 +35,7 @@ from instancerefer_tpu.data.pipeline import (
     CoreSample,
     collate,
     compute_height_feature,
+    finalize_batch,
     pad_sample,
     random_sampling,
 )
@@ -328,6 +329,23 @@ class PaddedLoader:
     (``config/InstanceRefer.yaml:45``); here a process pool builds padded
     samples (including all voxel pyramids + kernel maps) so the main process
     only stacks arrays and feeds the device.
+
+    ``drop_last`` defaults False, matching the reference's torch DataLoader
+    default (``scripts/train.py:61-68`` trains on the partial final batch).
+    A partial batch is padded to the static batch size by repeating the last
+    sample, with ``sample_valid`` marking real rows AND the duplicates'
+    voxel owners cleared to -1 — so BatchNorm statistics, pools, and every
+    loss/metric denominator see exactly the reference's smaller batch.
+
+    Multi-host data parallelism: pass ``process_index``/``process_count``
+    (``jax.process_index()``/``jax.process_count()``) and each host loads a
+    disjoint 1-in-``process_count`` slice of the same global permutation
+    (``parallel.mesh.host_shard_indices``); per-sample RNG seeds are
+    positional in the *global* permutation, so the union of all hosts'
+    samples is exactly the single-host epoch.  Every host yields the same
+    number of batches (computed from the smallest host shard) so collective
+    steps stay in lockstep; at most ``process_count - 1`` samples per epoch
+    land on no host when the sample count is not divisible.
     """
 
     def __init__(
@@ -339,10 +357,12 @@ class PaddedLoader:
         shuffle: bool = True,
         seed: int = 0,
         num_workers: int = 4,
-        drop_last: bool = True,
+        drop_last: bool = False,
         voxel_size_ap: float = 0.02,
         voxel_size_glp: float = 0.05,
         class_overrides: Optional[Dict[int, int]] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.spec = spec
@@ -355,11 +375,15 @@ class PaddedLoader:
         self.voxel_size_glp = voxel_size_glp
         # sample idx -> predicted class for the use_gt_lang=False second pass
         self.class_overrides = class_overrides
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # smallest per-host shard, so every host reports (and runs) the same
+        # batch count — collective steps must stay in lockstep
+        shard = len(self.dataset) // self.process_count
+        return shard // self.batch_size if self.drop_last else -(-shard // self.batch_size)
 
     def _build_one(self, args):
         idx, sample_seed = args
@@ -370,56 +394,54 @@ class PaddedLoader:
             core, self.spec, self.voxel_size_ap, self.voxel_size_glp
         )
 
+    def _finalize(self, batch):
+        return finalize_batch(batch, self.batch_size, self.spec)
+
     def __iter__(self):
         n = len(self.dataset)
         order = np.arange(n)
         rng = np.random.default_rng(self.seed + self.epoch)
         if self.shuffle:
             rng.shuffle(order)
+        # seeds are positional in the GLOBAL permutation: a multi-host run
+        # builds exactly the samples (and augmentations) one host would
+        seeds = rng.integers(2**31, size=n) if n else np.zeros(0, np.int64)
         self.epoch += 1
 
-        tasks = [(int(i), int(rng.integers(2**31))) for i in order]
+        if self.process_count > 1:
+            from instancerefer_tpu.parallel.mesh import host_shard_indices
+
+            mine = host_shard_indices(
+                n, process_index=self.process_index,
+                process_count=self.process_count,
+            )
+        else:
+            mine = np.arange(n)
+        tasks = [(int(order[j]), int(seeds[j])) for j in mine]
         nb = len(self)
 
-        def finalize(batch):
-            """Pad a partial final batch to the static batch size (repeating the
-            last sample) so jit never sees a new shape; ``sample_valid`` marks
-            the real rows for metric aggregation."""
-            valid = len(batch)
-            while len(batch) < self.batch_size:
-                batch.append(batch[-1])
-            out = collate(batch, self.spec)
-            mask = np.zeros(self.batch_size, bool)
-            mask[:valid] = True
-            out["sample_valid"] = mask
-            return out
+        def gen_padded():
+            if self.num_workers > 0:
+                # Thread pool, not fork: the heavy sample-build work (C++
+                # voxelizer via ctypes, numpy sort/searchsorted) releases the
+                # GIL, and fork after JAX initialization deadlocks (JAX is
+                # multithreaded).
+                from concurrent.futures import ThreadPoolExecutor
 
-        if self.num_workers > 0:
-            # Thread pool, not fork: the heavy sample-build work (C++ voxelizer
-            # via ctypes, numpy sort/searchsorted) releases the GIL, and fork
-            # after JAX initialization deadlocks (JAX is multithreaded).
-            from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    yield from pool.map(self._build_one, tasks, chunksize=2)
+            else:
+                for t in tasks:
+                    yield self._build_one(t)
 
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                it = pool.map(self._build_one, tasks, chunksize=2)
+        batch, done = [], 0
+        for padded in gen_padded():
+            batch.append(padded)
+            if len(batch) == self.batch_size:
+                yield self._finalize(batch)
                 batch = []
-                done = 0
-                for padded in it:
-                    batch.append(padded)
-                    if len(batch) == self.batch_size:
-                        yield finalize(batch)
-                        batch = []
-                        done += 1
-                        if done >= nb:
-                            break
-                if batch and not self.drop_last:
-                    yield finalize(batch)
-        else:
-            batch = []
-            for t in tasks:
-                batch.append(self._build_one(t))
-                if len(batch) == self.batch_size:
-                    yield finalize(batch)
-                    batch = []
-            if batch and not self.drop_last:
-                yield finalize(batch)
+                done += 1
+                if done >= nb:
+                    return
+        if batch and done < nb and not self.drop_last:
+            yield self._finalize(batch)

@@ -73,6 +73,13 @@ class BatchSpec:
     # (measured minima <= 288 at chunk 256 across stages/prefixes)
     pallas_up_window: int = 512
     pallas_up_subwin: int = 384
+    # data parallelism: shards along the batch axis the banded kernels
+    # shard_map over.  >1 block-clamps all band metadata to per-shard row
+    # slabs (shard-safe windows); stages whose per-shard rows cannot hold a
+    # window fall back to the XLA gather path, per stage.
+    data_shards: int = 1
+    # run Pallas kernels in interpret mode (CPU multi-device testing/dryrun)
+    pallas_interpret: bool = False
 
     @staticmethod
     def _profile(prof, stage):
@@ -347,6 +354,35 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
     return out
 
 
+def finalize_batch(
+    samples: List[Dict[str, np.ndarray]], batch_size: int, spec: BatchSpec
+) -> Dict[str, np.ndarray]:
+    """Collate, padding a partial batch to the static ``batch_size`` by
+    repeating the last sample, so jit never sees a new shape.
+
+    ``sample_valid`` marks the real rows, and the duplicated samples' voxel
+    owners are cleared to -1 — their rows become padding, so masked
+    BatchNorm statistics and pooling match a genuinely smaller batch
+    exactly (the loss/eval means already divide by the valid count;
+    reference parity: torch trains on the true smaller final batch,
+    ``scripts/train.py:61-68`` + ``lib/loss_helper.py:263``).
+    """
+    samples = list(samples)
+    valid = len(samples)
+    assert 0 < valid <= batch_size, (valid, batch_size)
+    while len(samples) < batch_size:
+        samples.append(samples[-1])
+    out = collate(samples, spec)
+    mask = np.zeros(batch_size, bool)
+    mask[:valid] = True
+    out["sample_valid"] = mask
+    if valid < batch_size:
+        for prefix, caps in (("scene", spec.scene_caps), ("inst", spec.inst_caps)):
+            for s, cap in enumerate(caps):
+                out[f"{prefix}_owner_{s}"][valid * cap:] = -1
+    return out
+
+
 def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
     """Flat numpy batch -> the data_dict pytree the model consumes.
 
@@ -368,6 +404,21 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
         stages = []
         dropped = total = 0
         prev_v = 0
+        n_shards = max(spec.data_shards, 1)
+
+        def blocks(v_out, v_in, chunk, window):
+            """(block, block_in) for shard-safe metadata, or None if this
+            map cannot band under the shard layout (per-shard rows not
+            chunk-divisible or too few input rows for a window)."""
+            if n_shards == 1:
+                return 0, None
+            if v_out % n_shards or v_in % n_shards:
+                return None
+            b_out, b_in = v_out // n_shards, v_in // n_shards
+            if b_out % chunk or b_in < window or b_in % 16:
+                return None
+            return b_out, b_in
+
         for s in range(spec.num_stages):
             nbr3 = batch[f"{prefix}_nbr3_{s}"]
             down = (
@@ -386,14 +437,17 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
             ws3 = wsk3 = None
             v = nbr3.shape[0]
             subwin = spec.subwin_for(s, prefix)
+            blk3 = blocks(v, v, spec.pallas_chunk, spec.pallas_window)
             if (
                 spec.pallas_conv
                 and v % spec.pallas_chunk == 0
                 and v >= spec.pallas_window
+                and blk3 is not None
             ):
                 res = compute_offset_window_starts(
                     nbr3, spec.pallas_chunk, spec.pallas_window,
                     subwin, v, count_drops=spec.pallas_count_drops,
+                    block=blk3[0], block_in=blk3[1],
                 )
                 if spec.pallas_count_drops:
                     ws3, wsk3, d, t = res
@@ -404,16 +458,21 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
             wsd = wskd = None
             up8 = wsu = wsktu = None
             d_chunk, d_window, d_subwin = spec.down_geom_for(s, prefix)
+            blkd = (
+                blocks(v, prev_v, d_chunk, d_window) if s > 0 and d_subwin else None
+            )
             if (
                 s > 0
                 and spec.pallas_conv
                 and d_subwin > 0
                 and v % d_chunk == 0
                 and prev_v >= d_window
+                and blkd is not None
             ):
                 res = compute_offset_window_starts(
                     down, d_chunk, d_window, d_subwin, prev_v,
                     count_drops=spec.pallas_count_drops,
+                    block=blkd[0], block_in=blkd[1],
                 )
                 if spec.pallas_count_drops:
                     wsd, wskd, d, t = res
@@ -423,7 +482,12 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     wsd, wskd = res
                 # inverse-map (up) bands for the banded down-conv dX:
                 # up8[u, k] = this-stage row u feeds at offset k, else -1
-                if prev_v % spec.pallas_chunk == 0 and v >= spec.pallas_up_window:
+                blku = blocks(prev_v, v, spec.pallas_chunk, spec.pallas_up_window)
+                if (
+                    prev_v % spec.pallas_chunk == 0
+                    and v >= spec.pallas_up_window
+                    and blku is not None
+                ):
                     up8 = np.where(
                         up_k[:, None] == np.arange(8, dtype=np.int32)[None, :],
                         up_row[:, None], -1,
@@ -432,6 +496,7 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                         up8, spec.pallas_chunk, spec.pallas_up_window,
                         spec.pallas_up_subwin, v,
                         count_drops=spec.pallas_count_drops,
+                        block=blku[0], block_in=blku[1],
                     )
                     if spec.pallas_count_drops:
                         wsu, wsktu, d, t = res
@@ -465,6 +530,8 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
                     pallas_up_chunk=spec.pallas_chunk if wsu is not None else 0,
                     pallas_up_window=spec.pallas_up_window if wsu is not None else 0,
                     pallas_up_subwin=spec.pallas_up_subwin if wsu is not None else 0,
+                    data_shards=n_shards,
+                    pallas_interpret=spec.pallas_interpret,
                 )
             )
             prev_v = v

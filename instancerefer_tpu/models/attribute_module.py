@@ -47,11 +47,14 @@ class AttributeModule(nn.Module):
         b = cand_mask.shape[0]
         c = self.max_candidates
 
-        # ---- language embedding (full batch; BatchNorm over B rows as in ref)
+        # ---- language embedding (full batch; BatchNorm over B rows as in
+        # ref — masked by sample_valid so a loader-padded tail batch computes
+        # exactly the reference's smaller batch statistics)
+        valid = data_dict.get("sample_valid")
         lang = data_dict["lang_attr_feats"]  # [B, 256]
         lang = TorchLinear(self.h_dim, name="lang_emb_fc_0")(lang)
         lang = MaskedBatchNorm(self.h_dim, name="lang_emb_fc_bn")(
-            lang, None, train=train, momentum=bn_momentum
+            lang, valid, train=train, momentum=bn_momentum
         )
         lang = nn.relu(lang)
         lang = TorchLinear(self.h_dim, name="lang_emb_fc_1")(lang)

@@ -194,7 +194,8 @@ class SubMConv3(nn.Module):
             out = banded_subm_conv(
                 cast_in(feats), sv.nbr3, cast_in(kernel_p), sv.ws3, sv.wsk3,
                 window=sv.pallas_window, chunk=sv.pallas_chunk,
-                subwin=sv.pallas_subwin,
+                subwin=sv.pallas_subwin, interpret=sv.pallas_interpret,
+                shards=sv.data_shards,
             )
         else:
             # custom VJP: backward is a mirrored-offset gather, not XLA's
@@ -227,6 +228,7 @@ class DownConv2(nn.Module):
             subwin=sv.pallas_down_subwin,
             up_chunk=sv.pallas_up_chunk,
             up_window=sv.pallas_up_window, up_subwin=sv.pallas_up_subwin,
+            interpret=sv.pallas_interpret, shards=sv.data_shards,
         )
 
 

@@ -28,9 +28,14 @@ class InstanceRefer(nn.Module):
     use_attribute: bool = True
     use_relation: bool = True
     use_scene: bool = True
+    # None keeps each submodule's reference dropout rate (lang word 0.1,
+    # relation/scene 0.15); a float overrides them all — used by parity tests
+    # that need train-mode stochasticity removed (dropout 0)
+    dropout_override: Optional[float] = None
 
     @nn.compact
     def __call__(self, data_dict: dict, *, train: bool, bn_momentum: float = 0.1) -> dict:
+        do = self.dropout_override
         data_dict = LangModule(
             num_text_classes=self.num_classes,
             use_lang_classifier=True,
@@ -38,6 +43,7 @@ class InstanceRefer(nn.Module):
             emb_size=300,
             hidden_size=128,
             name="lang",
+            **({} if do is None else {"word_dropout": do}),
         )(data_dict, train=train)
 
         if self.use_attribute:
@@ -53,12 +59,14 @@ class InstanceRefer(nn.Module):
                 num_classes=self.num_classes,
                 k=self.k,
                 name="relation",
+                **({} if do is None else {"dropout_rate": do}),
             )(data_dict, train=train, bn_momentum=bn_momentum)
 
         if self.use_scene:
             data_dict = SceneModule(
                 input_feature_dim=self.input_feature_dim,
                 name="scene",
+                **({} if do is None else {"dropout_rate": do}),
             )(data_dict, train=train, bn_momentum=bn_momentum)
 
         return data_dict

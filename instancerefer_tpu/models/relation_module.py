@@ -113,8 +113,9 @@ class RelationModule(nn.Module):
 
         lang = data_dict["lang_rel_feats"]  # [B, 256]
         lang = TorchLinear(self.h_dim, name="lang_emb_fc_0")(lang)
+        # sample_valid masks loader-padded tail rows out of the statistics
         lang = MaskedBatchNorm(self.h_dim, name="lang_emb_fc_bn")(
-            lang, None, train=train, momentum=bn_momentum
+            lang, data_dict.get("sample_valid"), train=train, momentum=bn_momentum
         )
         lang = nn.relu(lang)
         lang = nn.Dropout(self.dropout_rate, deterministic=not train)(lang)

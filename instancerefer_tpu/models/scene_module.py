@@ -88,15 +88,25 @@ class SceneModule(nn.Module):
             n_kernels=nz,
             name="to_bev_conv",
         )(feats, final, crop, bsz)  # [B, 15, 25, 128] NHWC
+        # sample_valid (loader-padded tail rows) masks whole BEV planes out of
+        # the batch statistics — the padded batch then equals the reference's
+        # genuinely smaller final batch
+        valid = data_dict.get("sample_valid")
+
+        def plane_mask(t):
+            if valid is None:
+                return None
+            return jnp.broadcast_to(valid[:, None, None], t.shape[:3])
+
         bev = MaskedBatchNorm(128, name="to_bev_bn")(
-            bev, None, train=train, momentum=bn_momentum
+            bev, plane_mask(bev), train=train, momentum=bn_momentum
         )
         bev = nn.relu(bev)
 
         # ---- 2x VALID 3x3 conv -> 11x21 cells
         x = TorchConv2d(self.h_dim, name="vis_emb_fc_conv0")(bev)
         x = MaskedBatchNorm(self.h_dim, name="vis_emb_fc_bn")(
-            x, None, train=train, momentum=bn_momentum
+            x, plane_mask(x), train=train, momentum=bn_momentum
         )
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -125,7 +135,7 @@ class SceneModule(nn.Module):
         # ---- 9-region classifier
         s = TorchLinear(self.h_dim, name="cls_0")(scene_feats)
         s = MaskedBatchNorm(self.h_dim, name="cls_bn")(
-            s, None, train=train, momentum=bn_momentum
+            s, valid, train=train, momentum=bn_momentum
         )
         s = nn.relu(s)
         out["seg_scores"] = TorchLinear(9, name="cls_1")(s)

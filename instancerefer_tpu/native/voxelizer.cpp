@@ -86,6 +86,10 @@ struct HashMap {
 
 extern "C" {
 
+// Bumped whenever an entry point's signature changes; the ctypes loader
+// refuses older .so revisions (rebuild is automatic on source mtime).
+int32_t ir_abi_version() { return 2; }
+
 // Unique-by-voxel keeping first occurrence; writes kept row indices to
 // keep_idx (caller allocates n) and returns the kept count.
 int64_t ir_unique_first(const int32_t* coords, int64_t n, int64_t* keep_idx) {
@@ -167,10 +171,13 @@ int64_t ir_downsample(const int32_t* coords, int64_t n, int32_t stride,
 // per-offset sub-window starts wsk_t laid out [k x n_chunks] for SMEM
 // scalar prefetch, optional block clamping for shard-safety, and counts of
 // band-dropped neighbor entries for observability).
+// block/block_in: shard-safety slab sizes in output/input row space (see
+// ops/voxelize.compute_offset_window_starts; block_in == block for
+// submanifold maps, the input stage's per-shard rows for down/up maps).
 void ir_band_starts(const int32_t* nbr, int64_t v_out, int32_t k,
                     int32_t chunk, int32_t window, int32_t subwin,
                     int64_t v_in, int32_t align, int32_t block,
-                    int32_t* ws, int32_t* wsk_t,
+                    int32_t block_in, int32_t* ws, int32_t* wsk_t,
                     int64_t* dropped, int64_t* total) {
   const int64_t n = v_out / chunk;
   const int32_t kBig = INT32_MAX;
@@ -201,21 +208,27 @@ void ir_band_starts(const int32_t* nbr, int64_t v_out, int32_t k,
     if (lo > hi_clip) lo = hi_clip;
     if (lo < 0) lo = 0;
     if (block > 0) {
-      int64_t blk_lo = ((ci * chunk) / block) * block;
-      int64_t blk_hi = blk_lo + block - window;
+      int64_t blk_lo = ((ci * chunk) / block) * int64_t(block_in);
+      int64_t blk_hi = blk_lo + block_in - window;
       if (lo < blk_lo) lo = blk_lo;
       if (lo > blk_hi) lo = blk_hi;
     }
     const int32_t wsafe = static_cast<int32_t>(lo);
     ws[ci] = empty ? -1 : wsafe;
+    // Drop-free iff every offset's [lo_k, hi_k] extent fits its clamped band
+    // — checked from the per-offset extents already gathered above, so the
+    // second per-entry pass below runs only for offsets that actually drop.
+    bool maybe_drops = false;
     for (int32_t j = 0; j < k; ++j) {
       int64_t l = (lo_k[j] == kBig) ? wsafe : (int64_t(lo_k[j]) / align) * align;
       int64_t up = int64_t(wsafe) + window - subwin;
       if (l < wsafe) l = wsafe;
       if (l > up) l = up;
       wsk_t[int64_t(j) * n + ci] = static_cast<int32_t>(l);
+      if (lo_k[j] != kBig && (lo_k[j] < l || hi_k[j] >= l + subwin))
+        maybe_drops = true;
     }
-    if (dropped) {
+    if (dropped && maybe_drops) {
       for (int64_t r = 0; r < chunk; ++r) {
         const int32_t* e = rows + r * k;
         for (int32_t j = 0; j < k; ++j) {

@@ -466,23 +466,149 @@ def windowed_conv_dw(
     return fn(window_start, offset_window_start, nbr, g, feats)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _banded_core(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk):
-    return windowed_gather_conv(
+# ---------------------------------------------------------------------------
+# Data-parallel execution: shard_map'd wrappers over the banded kernels
+# ---------------------------------------------------------------------------
+#
+# A pallas_call's row indices are global, so GSPMD cannot partition it; the
+# DP path instead shard_maps each kernel over the 1-D ``data`` mesh and
+# localizes the metadata per shard.  Correctness rests on two host-side
+# invariants: (a) per-sample voxel blocks mean no valid ``nbr`` entry ever
+# crosses a sample (hence shard) boundary, and (b) band metadata built with
+# ``compute_offset_window_starts(block=rows_per_shard, block_in=...)`` clamps
+# every DMA window inside its shard's input rows.  Each shard then subtracts
+# its input-row offset from nbr/ws/wskt (-1 sentinels preserved) and runs the
+# unmodified single-device kernel on purely local rows.  Weight gradients are
+# partial sums per shard and psum over the mesh inside the wrapper.
+
+
+def _data_mesh(shards: int):
+    """The active mesh iff it matches ``shards``; None selects the unsharded
+    call (block-clamped metadata stays valid globally — clamping only
+    restricts windows to slabs that already contain all their neighbors)."""
+    if shards <= 1:
+        return None
+    from instancerefer_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or mesh.size != shards:
+        return None
+    return mesh
+
+
+def _localize(nbr, ws, wskt, off):
+    nbr_adj = jnp.where(nbr >= 0, nbr - off, -1)
+    ws_adj = jnp.where(ws >= 0, ws - off, -1)
+    return nbr_adj, ws_adj, wskt - off
+
+
+def sharded_gather_conv(
+    feats, nbr, kernel, ws, wskt, *, window, chunk, subwin, shards,
+    interpret=False,
+):
+    """windowed_gather_conv, shard_map'd over the data mesh when shards > 1.
+
+    Serves both the submanifold forward (v_in == v_out) and the banded
+    down-conv forward / inverse-map dX (v_in != v_out): the localization
+    offset is in *input*-row space, ``feats.shape[0] // shards``.
+    """
+    mesh = _data_mesh(shards)
+    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=interpret)
+    if mesh is None:
+        return windowed_gather_conv(feats, nbr, kernel, ws, wskt, **kw)
+    axis = mesh.axis_names[0]
+    in_rows = feats.shape[0] // shards
+    assert in_rows % 16 == 0, in_rows  # window starts stay 16-aligned per shard
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(feats_l, nbr_l, ws_l, wskt_l, kern):
+        off = jax.lax.axis_index(axis) * in_rows
+        nbr_a, ws_a, wskt_a = _localize(nbr_l, ws_l, wskt_l, off)
+        return windowed_gather_conv(feats_l, nbr_a, kern, ws_a, wskt_a, **kw)
+
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None, axis), P()),
+        out_specs=P(axis), check_vma=False,
+    )(feats, nbr, ws, wskt, kernel)
+
+
+def sharded_conv_bwd_fused(
+    feats, nbr, g, w_t, ws, wskt, *, window, chunk, subwin, shards,
+    interpret=False,
+):
+    """Fused banded backward under shard_map: dX stays row-sharded, the
+    per-shard partial dW is psum'd over the mesh (the DP gradient
+    reduction, folded into the island)."""
+    mesh = _data_mesh(shards)
+    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=interpret)
+    if mesh is None:
+        return windowed_conv_bwd_fused(feats, nbr, g, w_t, ws, wskt, **kw)
+    axis = mesh.axis_names[0]
+    rows = g.shape[0] // shards  # v_in == v_out for the mirrored-gather bwd
+    assert rows % 16 == 0, rows
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(feats_l, nbr_l, g_l, wt, ws_l, wskt_l):
+        off = jax.lax.axis_index(axis) * rows
+        nbr_a, ws_a, wskt_a = _localize(nbr_l, ws_l, wskt_l, off)
+        dx, dw = windowed_conv_bwd_fused(feats_l, nbr_a, g_l, wt, ws_a, wskt_a, **kw)
+        return dx, jax.lax.psum(dw, axis)
+
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(axis), P(None, axis)),
+        out_specs=(P(axis), P()), check_vma=False,
+    )(feats, nbr, g, w_t, ws, wskt)
+
+
+def sharded_conv_dw(
+    feats, nbr, g, ws, wskt, *, window, chunk, subwin, shards, interpret=False
+):
+    """Banded dW under shard_map (down-conv weight gradient): the gather
+    table ``feats`` is the previous stage, so localization uses its
+    per-shard row count; the dW partial sums psum over the mesh."""
+    mesh = _data_mesh(shards)
+    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=interpret)
+    if mesh is None:
+        return windowed_conv_dw(feats, nbr, g, ws, wskt, **kw)
+    axis = mesh.axis_names[0]
+    in_rows = feats.shape[0] // shards
+    assert in_rows % 16 == 0, in_rows
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(feats_l, nbr_l, g_l, ws_l, wskt_l):
+        off = jax.lax.axis_index(axis) * in_rows
+        nbr_a, ws_a, wskt_a = _localize(nbr_l, ws_l, wskt_l, off)
+        dw = windowed_conv_dw(feats_l, nbr_a, g_l, ws_a, wskt_a, **kw)
+        return jax.lax.psum(dw, axis)
+
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(None, axis)),
+        out_specs=P(), check_vma=False,
+    )(feats, nbr, g, ws, wskt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _banded_core(window, chunk, subwin, interpret, shards, feats, nbr, kernel, ws, wsk):
+    return sharded_gather_conv(
         feats, nbr, kernel, ws, wsk,
-        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret,
     )
 
 
-def _banded_fwd(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk):
-    out = windowed_gather_conv(
+def _banded_fwd(window, chunk, subwin, interpret, shards, feats, nbr, kernel, ws, wsk):
+    out = sharded_gather_conv(
         feats, nbr, kernel, ws, wsk,
-        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret,
     )
     return out, (feats, nbr, kernel, ws, wsk)
 
 
-def _banded_bwd(window, chunk, subwin, interpret, res, g):
+def _banded_bwd(window, chunk, subwin, interpret, shards, res, g):
     """Banded backward for the symmetric submanifold conv.
 
     The fused kernel gathers g once per offset via the mirrored-offset
@@ -490,19 +616,24 @@ def _banded_bwd(window, chunk, subwin, interpret, res, g):
     and emits both dX and dW — the band metadata applies unchanged because
     the access pattern is identical to the forward's.
 
-    Exactness caveat: gradients are exact for the function the banded forward
-    actually computes.  When bands cover every neighbor (the measured case —
-    zero drops at production geometry, counted by the host when
-    ``count_drops`` is on), that function equals the dense conv.
+    Exactness caveat: these gradients equal the dense conv's exactly iff
+    BOTH the forward bands and the mirrored backward bands drop nothing —
+    when drops > 0 the forward drops entry (v, k) by band(chunk(v), k) while
+    the mirrored backward drops by band(chunk(u), K-1-k), different entries,
+    so the banded backward is then not the exact VJP of the banded forward
+    either.  The host drop counter (``count_drops``) covers both cases (the
+    mirrored map visits the same (u, v, k) triples), and the solver warns on
+    any nonzero count; production band profiles are sized for zero drops.
     """
     feats, nbr, kernel, ws, wsk = res
     from instancerefer_tpu.ops.precision import cast_in
 
     gc = cast_in(g.astype(jnp.float32))
     w_t = jnp.transpose(cast_in(kernel)[::-1], (0, 2, 1))  # w_t[k] = W[K-1-k]^T
-    dx, dw = windowed_conv_bwd_fused(
+    dx, dw = sharded_conv_bwd_fused(
         cast_in(feats), nbr, gc, w_t, ws, wsk,
-        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret,
     )
     return dx.astype(feats.dtype), None, dw.astype(kernel.dtype), None, None
 
@@ -521,11 +652,16 @@ def banded_subm_conv(
     chunk: int,
     subwin: int,
     interpret: bool = False,
+    shards: int = 1,
 ) -> jnp.ndarray:
     """Differentiable banded 3^3 submanifold conv (train + eval path).
 
     Requires a symmetric-offset same-coordinate map (``nbr3``) with banded
     window metadata from ``ops/voxelize.compute_offset_window_starts``
-    (``wsk`` in its transposed [K, n_chunks] SMEM layout).
+    (``wsk`` in its transposed [K, n_chunks] SMEM layout).  ``shards > 1``
+    runs fwd and bwd kernels shard_map'd over the active data mesh
+    (metadata must then be block-clamped, block = rows per shard).
     """
-    return _banded_core(window, chunk, subwin, interpret, feats, nbr, kernel, ws, wsk)
+    return _banded_core(
+        window, chunk, subwin, interpret, shards, feats, nbr, kernel, ws, wsk
+    )

@@ -96,6 +96,12 @@ class SparseStage:
     pallas_up_chunk: int = struct.field(pytree_node=False, default=0)
     pallas_up_window: int = struct.field(pytree_node=False, default=0)
     pallas_up_subwin: int = struct.field(pytree_node=False, default=0)
+    # data-parallel execution: number of shards the banded kernels shard_map
+    # over (1 = single-device; >1 requires block-clamped band metadata with
+    # block = rows per shard — see ops/pallas_conv sharded wrappers)
+    data_shards: int = struct.field(pytree_node=False, default=1)
+    # run the Pallas kernels in interpret mode (CPU testing / dryrun)
+    pallas_interpret: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def capacity(self) -> int:
@@ -266,30 +272,31 @@ def _down_conv_bwd(res, g):
 _down_conv_core.defvjp(_down_conv_fwd, _down_conv_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _down_conv_banded_core(window, chunk, subwin, up_chunk, up_window,
-                           up_subwin, interpret, feats, down, up_row, up_k,
-                           kernel, wsd, wskd, up8, wsu, wsktu):
-    from instancerefer_tpu.ops.pallas_conv import windowed_gather_conv
+                           up_subwin, interpret, shards, feats, down, up_row,
+                           up_k, kernel, wsd, wskd, up8, wsu, wsktu):
+    from instancerefer_tpu.ops.pallas_conv import sharded_gather_conv
 
-    return windowed_gather_conv(
+    return sharded_gather_conv(
         cast_in(feats), down, cast_in(kernel), wsd, wskd,
-        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret,
     )
 
 
 def _down_conv_banded_fwd(window, chunk, subwin, up_chunk, up_window,
-                          up_subwin, interpret, feats, down, up_row, up_k,
-                          kernel, wsd, wskd, up8, wsu, wsktu):
+                          up_subwin, interpret, shards, feats, down, up_row,
+                          up_k, kernel, wsd, wskd, up8, wsu, wsktu):
     out = _down_conv_banded_core(
         window, chunk, subwin, up_chunk, up_window, up_subwin, interpret,
-        feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu
+        shards, feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu
     )
     return out, (feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu)
 
 
 def _down_conv_banded_bwd(window, chunk, subwin, up_chunk, up_window,
-                          up_subwin, interpret, res, g):
+                          up_subwin, interpret, shards, res, g):
     """Both gradient legs go through banded kernels:
 
     dW reuses the forward's (wsd, wskd) band metadata — one windowed pass
@@ -302,8 +309,8 @@ def _down_conv_banded_bwd(window, chunk, subwin, up_chunk, up_window,
     """
     feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu = res
     from instancerefer_tpu.ops.pallas_conv import (
-        windowed_conv_dw,
-        windowed_gather_conv,
+        sharded_conv_dw,
+        sharded_gather_conv,
     )
 
     g32 = g.astype(jnp.float32)
@@ -311,10 +318,10 @@ def _down_conv_banded_bwd(window, chunk, subwin, up_chunk, up_window,
     k = kernel.shape[0]
     w_t = jnp.transpose(cast_in(kernel), (0, 2, 1))  # [K, Cout, Cin]
     if up8 is not None and wsu is not None:
-        dx = windowed_gather_conv(
+        dx = sharded_gather_conv(
             gc, up8, w_t, wsu, wsktu,
             window=up_window, chunk=up_chunk, subwin=up_subwin,
-            interpret=interpret,
+            shards=shards, interpret=interpret,
         )[:, : kernel.shape[1]]
     else:
         tmp = gather_rows(gc, up_row)  # [V_in, Cout]
@@ -324,9 +331,10 @@ def _down_conv_banded_bwd(window, chunk, subwin, up_chunk, up_window,
             dx = dx + jnp.dot(
                 tmp * sel, w_t[i], preferred_element_type=jnp.float32
             )
-    dw = windowed_conv_dw(
+    dw = sharded_conv_dw(
         cast_in(feats), down, gc, wsd, wskd,
-        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret,
     )[:, : kernel.shape[1], : kernel.shape[2]].astype(kernel.dtype)
     return (dx.astype(feats.dtype), None, None, None, dw, None, None, None,
             None, None)
@@ -354,6 +362,7 @@ def down_gather_conv(
     up_window: int = 0,
     up_subwin: int = 0,
     interpret: bool = False,
+    shards: int = 1,
 ):
     """2^3 stride-2 conv with the inverse-map (scatter-free) backward.
 
@@ -363,13 +372,15 @@ def down_gather_conv(
     (``wsd``/``wskd``), the forward runs through the banded Pallas kernel
     (with its exact empty-chunk skip); the backward is the inverse-map one
     either way.  Falls back to plain ``gather_conv`` when maps are absent.
+    ``shards > 1`` shard_maps the banded kernels over the active data mesh.
     """
     if up_row is None or up_k is None:
         return gather_conv(feats, down, kernel)
     if wsd is not None and wskd is not None and subwin > 0:
         return _down_conv_banded_core(
             window, chunk, subwin, up_chunk, up_window, up_subwin, interpret,
-            feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu
+            shards, feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu,
+            wsktu
         )
     return _down_conv_core(feats, down, up_row, up_k, kernel)
 

@@ -68,8 +68,13 @@ def _load_native():
         lib.ir_band_starts.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, i32p, i32p, i64p, i64p,
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p, i64p, i64p,
         ]
+        # presence probe for the block_in-aware revision of ir_band_starts
+        lib.ir_abi_version.restype = ctypes.c_int32
+        lib.ir_abi_version.argtypes = []
+        if lib.ir_abi_version() < 2:
+            return None
         lib.ir_invert_down.restype = None
         lib.ir_invert_down.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
@@ -199,6 +204,7 @@ def compute_offset_window_starts(
     align: int = 16,
     count_drops: bool = False,
     block: int = 0,
+    block_in: Optional[int] = None,
 ):
     """(window_start [n], offset_window_start [K, n]) for the banded conv.
 
@@ -213,17 +219,26 @@ def compute_offset_window_starts(
 
     With ``count_drops=True`` also returns (dropped, total): how many valid
     neighbor entries fall outside their offset's sub-window (the kernel
-    treats those as empty — a silent numeric deviation worth observing).
+    treats those as empty — a silent numeric deviation worth observing; the
+    count reflects the FINAL clamped bands, so block clamping is priced in).
 
-    ``block > 0`` additionally clamps every window inside the ``block``-row
-    slab containing its chunk (block must be a multiple of chunk and at
-    least ``window``).  This makes the metadata shard-safe for data-parallel
-    execution: with ``block = rows_per_shard``, windows never cross shard
-    boundaries, so a shard_map'd kernel can subtract its shard's row offset
-    and run on purely local rows.
+    ``block > 0`` additionally clamps every window inside one slab per
+    ``block`` output rows (block must be a multiple of chunk); the slab in
+    *input-row* space spans ``block_in`` rows (default ``block``, which is
+    right for submanifold maps where v_in == v_out; down/up maps pass the
+    input stage's per-shard row count).  ``block_in`` must be >= window.
+    This makes the metadata shard-safe for data-parallel execution: with
+    block(_in) = rows_per_shard, windows never cross shard boundaries, so a
+    shard_map'd kernel subtracts its shard's input-row offset and runs on
+    purely local rows.
     """
     v_out, k = nbr.shape
     n = v_out // chunk
+    if block:
+        block_in = block if block_in is None else block_in
+        assert block % chunk == 0 and block_in >= window, (block, chunk, block_in, window)
+    else:
+        block_in = 0
     if _NATIVE is not None and v_out == n * chunk:
         nbr_c = np.ascontiguousarray(nbr, dtype=np.int32)
         ws = np.empty(n, np.int32)
@@ -232,7 +247,7 @@ def compute_offset_window_starts(
         total = np.zeros(1, np.int64)
         _NATIVE.ir_band_starts(
             nbr_c, v_out, k, chunk, window, subwin, v_in, align, block,
-            ws, wsk_t, dropped, total,
+            block_in, ws, wsk_t, dropped, total,
         )
         if not count_drops:
             return ws, wsk_t
@@ -247,9 +262,8 @@ def compute_offset_window_starts(
     lo = (lo // align) * align
     ws = np.clip(lo, 0, max(v_in - window, 0)).astype(np.int32)
     if block:
-        assert block % chunk == 0 and block >= window, (block, chunk, window)
-        blk_lo = (np.arange(n) * chunk // block) * block
-        ws = np.clip(ws, blk_lo, blk_lo + block - window).astype(np.int32)
+        blk_lo = (np.arange(n) * chunk // block) * block_in
+        ws = np.clip(ws, blk_lo, blk_lo + block_in - window).astype(np.int32)
     # empty offsets take the chunk's window start (no valid nbr to cover)
     lo_k = np.where(lo_k == big, ws[:, None], lo_k)
     wsk = (lo_k // align) * align

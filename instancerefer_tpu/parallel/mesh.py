@@ -31,7 +31,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    mesh = Mesh(np.asarray(devices), (axis_name,))
+    set_active_mesh(mesh)
+    return mesh
+
+
+# The mesh the banded Pallas kernels shard_map over when a SparseStage carries
+# ``data_shards > 1`` (ops/pallas_conv sharded wrappers).  Registered by
+# make_mesh (the solver/bench/dryrun all build their mesh through it) rather
+# than threaded through every module call; one process drives one mesh.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

@@ -258,8 +258,14 @@ class Solver:
         self._total_iter["val"] = len(dataloader["val"]) * self.val_step
         self._val_len = len(dataloader["val"])  # for the ETA's val term
 
-        epoch_id = 0
-        for epoch_id in range(epoch):
+        # resume: continue epoch numbering from a restored checkpoint so the
+        # MultiStepLR epoch mapping, BN-momentum schedule and best tracking
+        # pick up where they left off (reference lib/solver.py:373-381 +
+        # scripts/train.py:114-119)
+        start_epoch = int(self.state.get("epoch", 0)) if self.state else 0
+        self._global_iter_id = start_epoch * len(dataloader["train"])
+        epoch_id = start_epoch
+        for epoch_id in range(start_epoch, epoch):
             try:
                 self._log(f"epoch {epoch_id + 1} starting...")
                 bn_momentum = bn_momentum_for_epoch(
@@ -416,6 +422,13 @@ class Solver:
         }
         if with_opt:
             payload["opt_state"] = self.state["opt_state"]
+            # the reference's checkpoint.tar records the epoch counter
+            # (lib/solver.py:373-381); best-metric state rides along so a
+            # resumed run keeps best-model tracking
+            payload["epoch"] = np.asarray(self.state.get("epoch", 0), np.int32)
+            payload["best"] = {
+                k: np.asarray(v, np.float64) for k, v in self.best.items()
+            }
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, payload, force=True)
 
@@ -477,8 +490,23 @@ class Solver:
         }
         if with_opt:
             template["opt_state"] = self.state["opt_state"]
+            template["epoch"] = np.asarray(0, np.int32)
+            template["best"] = {k: np.asarray(v, np.float64) for k, v in self.best.items()}
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(os.path.abspath(path), template)
+            try:
+                restored = ckptr.restore(os.path.abspath(path), template)
+            except BaseException:
+                if not with_opt:
+                    raise
+                # pre-resume-fidelity checkpoint without epoch/best
+                template.pop("epoch")
+                template.pop("best")
+                restored = ckptr.restore(os.path.abspath(path), template)
+        best = restored.pop("best", None)
+        if best is not None:
+            self.best.update({k: float(v) for k, v in best.items()})
+        if "epoch" in restored:
+            restored["epoch"] = int(restored["epoch"])
         self.state.update(restored)
 
     def _finish(self, epoch_id):

@@ -27,12 +27,21 @@ import numpy as np
 ALIGN = 16
 
 
-def min_subwin(nbr: np.ndarray, chunk: int) -> int:
-    """Smallest aligned band width covering every offset's neighbors."""
+def min_subwin(nbr: np.ndarray, chunk: int):
+    """(smallest aligned band width covering every offset's neighbors,
+    band-start spread).
+
+    The kernels clamp each offset's band start into
+    [ws, ws + window - subwin], so a subwin recommendation alone is not
+    drop-free: the chunk's *window* must also cover the spread between the
+    chunk-global aligned start and the widest offset's aligned start plus
+    subwin.  ``spread`` is that max offset, so window >= spread + subwin
+    guarantees the clamp never pushes a band off its neighbors.
+    """
     v_out, k = nbr.shape
     n = v_out // chunk
     if n == 0:
-        return 0
+        return 0, 0
     big = np.iinfo(np.int32).max
     blk = nbr[: n * chunk].reshape(n, chunk, k)
     lo_k = np.where(blk >= 0, blk, big).min(axis=1)
@@ -40,9 +49,13 @@ def min_subwin(nbr: np.ndarray, chunk: int) -> int:
     wsk = np.where(lo_k == big, big, (lo_k // ALIGN) * ALIGN)
     ok = (hi_k >= 0) & (wsk < big)
     if not ok.any():
-        return 0
+        return 0, 0
     need = int((hi_k[ok] - wsk[ok] + 1).max())
-    return -(-need // ALIGN) * ALIGN
+    ws = np.where(
+        lo_k.min(axis=1) == big, 0, (lo_k.min(axis=1) // ALIGN) * ALIGN
+    )
+    spread = int((wsk[ok] - np.broadcast_to(ws[:, None], wsk.shape)[ok]).max())
+    return -(-need // ALIGN) * ALIGN, spread
 
 
 def roundup128(n: int) -> int:
@@ -56,23 +69,24 @@ def recommend(minimum: int, margin: int) -> int:
 
 
 def calibrate(batches, spec, margin):
-    subm = {}
-    down = {}
-    up = {}
+    subm, down, up = {}, {}, {}
+    spreads = {"subm": {}, "down": {}, "up": {}}
+
+    def acc(table, name, key, nbr, chunk):
+        sw, spread = min_subwin(nbr, chunk)
+        table[key] = max(table.get(key, 0), sw)
+        spreads[name][key] = max(spreads[name].get(key, 0), spread)
+
     for batch in batches:
         for prefix in ("scene", "inst"):
             prev_v = 0
             for s in range(spec.num_stages):
                 nbr3 = batch[f"{prefix}_nbr3_{s}"]
                 key = (prefix, s)
-                subm[key] = max(
-                    subm.get(key, 0), min_subwin(nbr3, spec.pallas_chunk)
-                )
+                acc(subm, "subm", key, nbr3, spec.pallas_chunk)
                 if s > 0:
                     d = batch[f"{prefix}_down_{s}"]
-                    down[key] = max(
-                        down.get(key, 0), min_subwin(d, spec.pallas_down_chunk)
-                    )
+                    acc(down, "down", key, d, spec.pallas_down_chunk)
                     from instancerefer_tpu.ops.voxelize import invert_down
 
                     up_row, up_k = invert_down(d, prev_v)
@@ -80,11 +94,9 @@ def calibrate(batches, spec, margin):
                         up_k[:, None] == np.arange(8, dtype=np.int32)[None, :],
                         up_row[:, None], -1,
                     ).astype(np.int32)
-                    up[key] = max(
-                        up.get(key, 0), min_subwin(up8, spec.pallas_chunk)
-                    )
+                    acc(up, "up", key, up8, spec.pallas_chunk)
                 prev_v = nbr3.shape[0]
-    return subm, down, up
+    return subm, down, up, spreads
 
 
 def main(argv=None):
@@ -144,7 +156,7 @@ def main(argv=None):
                 except StopIteration:
                     return
 
-    subm, down, up = calibrate(batches(), spec, args.margin)
+    subm, down, up, spreads = calibrate(batches(), spec, args.margin)
 
     def profile(table, prefix):
         return [
@@ -166,8 +178,43 @@ def main(argv=None):
     print(f"  pallas_down_subwin: {profile(down, 'scene')}")
     print(f"  pallas_down_subwin_inst: {profile(down, 'inst')}")
     print(f"  pallas_up_subwin: {recommend(up_all, args.margin)}")
-    print("# down/up windows must be >= the matching subwin; widen the")
-    print("# window profiles if you raised a subwin beyond them.")
+
+    # --- window sufficiency: the kernels clamp band starts into
+    # [ws, ws + window - subwin], so window must cover the measured
+    # band-start spread + the recommended subwin or neighbors still drop.
+    def window_req(name, table, key):
+        rec = recommend(table.get(key, 0), args.margin)
+        if not rec:
+            return 0
+        spread = spreads[name].get(key, 0)
+        return -(-(spread + rec) // ALIGN) * ALIGN
+
+    problems = []
+    for prefix in ("scene", "inst"):
+        for s in range(spec.num_stages):
+            key = (prefix, s)
+            checks = [
+                ("window", "subm", subm, spec.pallas_window, "pallas_window"),
+                ("down_window", "down", down,
+                 spec.down_geom_for(s, prefix)[1], "pallas_down_window"),
+                ("up_window", "up", up, spec.pallas_up_window, "pallas_up_subwin"),
+            ]
+            for label, name, table, have, yaml_key in checks:
+                need = window_req(name, table, key)
+                if need and need > have:
+                    problems.append(
+                        f"#   {prefix} stage {s}: {yaml_key} window {have} < "
+                        f"required {need} (band-start spread "
+                        f"{spreads[name].get(key, 0)} + subwin)"
+                    )
+    if problems:
+        print("\n# WARNING: recommended subwins need WIDER windows (the band")
+        print("# clamp would otherwise still drop neighbors):")
+        for p in problems:
+            print(p)
+    else:
+        print("# window check: current window profiles cover the measured")
+        print("# band-start spreads — recommendations above are drop-free.")
 
 
 if __name__ == "__main__":

@@ -24,16 +24,20 @@ def resolve_run_dir(cfg: Config) -> str:
 
     Accepts either the experiment name used at training time (``--log_dir``
     as in the reference, where the newest timestamped run under its
-    ``checkpoints/`` is picked) or a direct run-directory path.
+    ``checkpoints/`` is picked) or a direct run-directory path.  Fails loudly
+    (listing what exists) rather than silently evaluating some other run's
+    checkpoint; prints the resolved path.
     """
     import glob as _glob
 
     candidates = []
     if os.path.isdir(os.path.join(cfg.log_dir, "model_last")):
         candidates.append(cfg.log_dir)
+    # newest stamped run of THIS experiment (path_output embeds log_dir)
     candidates += sorted(
         _glob.glob(os.path.join(cfg.path_output, "*", "model_last")), reverse=True
     )
+    # runs whose stamp suffix is the log_dir (train.py appends it upper-cased)
     candidates += sorted(
         _glob.glob(
             os.path.join(cfg.output_root, cfg.dataset, "*", "checkpoints",
@@ -41,21 +45,40 @@ def resolve_run_dir(cfg: Config) -> str:
         ),
         reverse=True,
     )
-    candidates += sorted(
-        _glob.glob(
-            os.path.join(cfg.output_root, cfg.dataset, "*", "checkpoints", "*",
-                         "model_last")
-        ),
-        reverse=True,
-    )
     for c in candidates:
         run = c[: -len("/model_last")] if c.endswith("model_last") else c
         if os.path.isdir(os.path.join(run, "model_last")):
+            print(f"evaluating run: {run}")
             return run
+    others = sorted(
+        _glob.glob(
+            os.path.join(cfg.output_root, cfg.dataset, "*", "checkpoints", "*",
+                         "model_last")
+        )
+    )
+    hint = (
+        "\n  runs that do exist (pass one as --log_dir):\n    "
+        + "\n    ".join(os.path.dirname(o) for o in others)
+        if others
+        else ""
+    )
     raise FileNotFoundError(
         f"no trained run with model_last found for log_dir={cfg.log_dir!r} "
-        f"under {cfg.path_output!r}"
+        f"under {cfg.path_output!r}{hint}"
     )
+
+
+def _pop_band_diagnostics(dd, _warned=[]):
+    """Host-side banded-conv drop counters: 0-d leaves that must not be fed
+    into jitted steps (they cannot shard over the data axis; the solver pops
+    them the same way).  Warn once if bands ever dropped a neighbor."""
+    drops = [dd.pop(k, 0.0) for k in ("scene_band_drop", "inst_band_drop")]
+    if not _warned and any(float(d) > 0 for d in drops):
+        _warned.append(True)
+        print(
+            f"WARNING: banded conv dropped neighbors (scene {float(drops[0]):.3%}, "
+            f"inst {float(drops[1]):.3%}) — raise pallas_subwin for exact scores"
+        )
 
 
 def eval_ref(cfg: Config):
@@ -136,6 +159,7 @@ def eval_ref(cfg: Config):
             for batch in loader:
                 valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
                 dd = batch_to_device_dict(batch, spec)
+                _pop_band_diagnostics(dd)
                 pred = np.asarray(jax.device_get(lang_step(lang_params, dd)))
                 idxs = np.asarray(batch["scan_idx"])
                 for i, p, v in zip(idxs, pred, valid):
@@ -178,6 +202,7 @@ def eval_ref(cfg: Config):
         for batch in loader:
             valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
             dd = batch_to_device_dict(batch, spec)
+            _pop_band_diagnostics(dd)
             res = jax.device_get(
                 step(solver.state["params"], solver.state["batch_stats"], dd)
             )

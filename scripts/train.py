@@ -85,17 +85,22 @@ def train(cfg: Config):
             dc=dc,
         )
 
+    # multi-host data sharding: each host loads its 1-in-process_count slice
+    # of the global permutation (parallel.mesh.host_shard_indices)
+    host = dict(process_index=jax.process_index(), process_count=jax.process_count())
     loaders = {
         "train": PaddedLoader(
             make_ds(scanrefer_train, "train"), spec, cfg.batch_size,
             shuffle=True, seed=cfg.manual_seed, num_workers=cfg.num_workers,
             voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
+            **host,
         ),
         "val": PaddedLoader(
             make_ds(scanrefer_val, "val"), spec, cfg.batch_size,
             shuffle=False, seed=cfg.manual_seed, num_workers=cfg.num_workers,
             drop_last=False,
             voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
+            **host,
         ),
     }
 

@@ -606,6 +606,326 @@ def replica_get_eval(dd: Dict) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# train-mode replica: torch BN train semantics + joint-batch statistics
+# ---------------------------------------------------------------------------
+#
+# The eval replica above runs each candidate/scene through the encoders
+# separately — valid because eval BN is row-independent.  Train-mode BN is
+# not: the reference collates all candidates (and all scenes) into ONE
+# SparseTensor, so batch statistics pool over every row of the batch
+# (reference models/attribute_module.py:101, models/scene_module.py:69 via
+# torchsparse spnn.BatchNorm train mode).  The classes below run the same
+# math with *joint* statistics: conv per group, BatchNorm over the
+# concatenated rows, split back.  Running stats follow torch BN exactly
+# (normalize by biased batch var, accumulate the unbiased estimate,
+# running = (1-m)*running + m*batch), which is also MaskedBatchNorm's
+# contract (models/basic_blocks.py:61-125).
+
+
+class BNTrain:
+    """torch BatchNorm train mode over row-major [..., C] tensors, stateful
+    running stats, schedulable momentum (lib/scheduler_helper.py)."""
+
+    def __init__(self, p, stats, eps=1e-5):
+        self.w, self.b = _t(p["scale"]), _t(p["bias"])
+        self.rm = _t(stats["mean"]).detach().clone()
+        self.rv = _t(stats["var"]).detach().clone()
+        self.eps = eps
+        self.momentum = 0.1
+
+    def __call__(self, x):
+        c = x.shape[-1]
+        flat = x.reshape(-1, c)
+        mean = flat.mean(0)
+        var = flat.var(0, unbiased=False)
+        n = flat.shape[0]
+        with torch.no_grad():
+            unbiased = var.detach() * n / max(n - 1, 1)
+            m = self.momentum
+            self.rm = (1 - m) * self.rm + m * mean.detach()
+            self.rv = (1 - m) * self.rv + m * unbiased
+        return (x - mean) / torch.sqrt(var + self.eps) * self.w + self.b
+
+
+class JointConvBNReLU:
+    """BasicConvolutionBlock over a LIST of row groups with joint BN stats."""
+
+    def __init__(self, p, stats):
+        self.kernel = _t(p["conv"]["kernel"])
+        self.bn = BNTrain(p["bn"], stats["bn"])
+
+    def __call__(self, items):
+        """items: list of (feats, kernel_map) -> list of activated outputs."""
+        outs = [gather_conv_t(f, m, self.kernel) for f, m in items]
+        cat = torch.cat(outs) if outs else torch.zeros(0, self.kernel.shape[-1])
+        catn = F.relu(self.bn(cat))
+        res, off = [], 0
+        for o in outs:
+            res.append(catn[off : off + len(o)])
+            off += len(o)
+        return res
+
+
+class JointResidual:
+    def __init__(self, p, stats):
+        self.k1 = _t(p["conv1"]["kernel"])
+        self.bn1 = BNTrain(p["bn1"], stats["bn1"])
+        self.k2 = _t(p["conv2"]["kernel"])
+        self.bn2 = BNTrain(p["bn2"], stats["bn2"])
+
+    def _joint(self, bn, rows):
+        cat = torch.cat(rows) if rows else torch.zeros(0, self.k1.shape[-1])
+        catn = bn(cat)
+        out, off = [], 0
+        for r in rows:
+            out.append(catn[off : off + len(r)])
+            off += len(r)
+        return out
+
+    def __call__(self, feats_list, nbrs):
+        x1 = self._joint(
+            self.bn1, [gather_conv_t(f, n, self.k1) for f, n in zip(feats_list, nbrs)]
+        )
+        x1 = [F.relu(x) for x in x1]
+        x2 = self._joint(
+            self.bn2, [gather_conv_t(x, n, self.k2) for x, n in zip(x1, nbrs)]
+        )
+        return [F.relu(a + b) for a, b in zip(x2, feats_list)]
+
+
+class JointSparseEncoder:
+    """SparseConvEncoder/BEVEncoder over a list of sparse tensors with the
+    reference's collated-batch BN statistics."""
+
+    def __init__(self, p, stats):
+        self.stem = JointConvBNReLU(p["stem"], stats["stem"])
+        self.downs = [
+            JointConvBNReLU(p[f"stage{i}_down"], stats[f"stage{i}_down"])
+            for i in range(1, 5)
+        ]
+        self.res = [
+            JointResidual(p[f"stage{i}_res"], stats[f"stage{i}_res"])
+            for i in range(1, 5)
+        ]
+
+    def __call__(self, items):
+        """items: list of (coords, feats) -> (final_coords_list, final_feats_list, stride)."""
+        coords_l = [c for c, _ in items]
+        stride = 1
+        nbrs = [build_nbr3_dict(c, stride) for c in coords_l]
+        xs = self.stem([(f, n) for (_, f), n in zip(items, nbrs)])
+        for i in range(4):
+            pairs = [downsample_dict(c, stride) for c in coords_l]
+            coords_l = [p[0] for p in pairs]
+            kmaps = [p[1] for p in pairs]
+            stride *= 2
+            xs = self.downs[i](list(zip(xs, kmaps)))
+            nbrs = [build_nbr3_dict(c, stride) for c in coords_l]
+            xs = self.res[i](xs, nbrs)
+        return coords_l, xs, stride
+
+    def bns(self):
+        out = [self.stem.bn]
+        for d in self.downs:
+            out.append(d.bn)
+        for r in self.res:
+            out += [r.bn1, r.bn2]
+        return out
+
+
+class ReplicaTrain:
+    """Train-mode forward of the whole model (dropout off — compare against
+    the flax model with dropout_override=0.0): joint-batch BN statistics
+    everywhere, stateful running stats, torch-exact momentum handling."""
+
+    def __init__(self, params, batch_stats, voxel_size_ap=0.02):
+        params = _np_tree(params)
+        stats = _np_tree(batch_stats)
+        self.voxel_size_ap = voxel_size_ap
+        self.lang = ReplicaLang(params["lang"])
+
+        ap, ast = params["attribute"], stats["attribute"]
+        self.attr_net = JointSparseEncoder(ap["net"], ast["net"])
+        self.attr_vis0, self.attr_vis1 = Linear(ap["vis_emb_fc_0"]), Linear(ap["vis_emb_fc_1"])
+        self.attr_vis_ln = LN(ap["vis_emb_fc_ln"])
+        self.attr_lang0, self.attr_lang1 = Linear(ap["lang_emb_fc_0"]), Linear(ap["lang_emb_fc_1"])
+        self.attr_lang_bn = BNTrain(ap["lang_emb_fc_bn"], ast["lang_emb_fc_bn"])
+
+        rp, rst = params["relation"], stats["relation"]
+        self.rel = ReplicaRelation(rp, rst)
+        self.rel_lang_bn = BNTrain(rp["lang_emb_fc_bn"], rst["lang_emb_fc_bn"])
+        self.rel.lang_bn = self.rel_lang_bn  # swap eval BN for the train one
+
+        sp, sst = params["scene"], stats["scene"]
+        self.scene_net = JointSparseEncoder(sp["net"], sst["net"])
+        self.scene_eval = ReplicaScene(sp, sst)  # reuse heads; BNs replaced
+        self.scene_bev_bn = BNTrain(sp["to_bev_bn"], sst["to_bev_bn"])
+        self.scene_conv_bn = BNTrain(sp["vis_emb_fc_bn"], sst["vis_emb_fc_bn"])
+        self.scene_cls_bn = BNTrain(sp["cls_bn"], sst["cls_bn"])
+        self.scene_eval.bev_bn = self.scene_bev_bn
+        self.scene_eval.conv_bn = self.scene_conv_bn
+        self.scene_eval.cls_bn = self.scene_cls_bn
+
+    def all_bns(self):
+        return (
+            self.attr_net.bns()
+            + self.scene_net.bns()
+            + [self.attr_lang_bn, self.rel_lang_bn, self.scene_bev_bn,
+               self.scene_conv_bn, self.scene_cls_bn]
+        )
+
+    def set_bn_momentum(self, m: float):
+        for bn in self.all_bns():
+            bn.momentum = m
+
+    def running_stats_tree(self):
+        """Current running stats in the flax batch_stats layout."""
+
+        def bn(b):
+            return {"mean": b.rm.numpy().copy(), "var": b.rv.numpy().copy()}
+
+        def enc(e):
+            out = {"stem": {"bn": bn(e.stem.bn)}}
+            for i in range(1, 5):
+                out[f"stage{i}_down"] = {"bn": bn(e.downs[i - 1].bn)}
+                out[f"stage{i}_res"] = {
+                    "bn1": bn(e.res[i - 1].bn1), "bn2": bn(e.res[i - 1].bn2)
+                }
+            return out
+
+        return {
+            "attribute": {
+                "net": enc(self.attr_net),
+                "lang_emb_fc_bn": bn(self.attr_lang_bn),
+            },
+            "relation": {"lang_emb_fc_bn": bn(self.rel_lang_bn)},
+            "scene": {
+                "net": enc(self.scene_net),
+                "to_bev_bn": bn(self.scene_bev_bn),
+                "vis_emb_fc_bn": bn(self.scene_conv_bn),
+                "cls_bn": bn(self.scene_cls_bn),
+            },
+        }
+
+    def forward(self, dd: Dict) -> Dict:
+        dd = self.lang(dd, enable_grad=True)
+
+        # ---- attribute (train): filter + joint-encode all candidates
+        lang = self.attr_lang1(
+            F.relu(self.attr_lang_bn(self.attr_lang0(dd["lang_attr_feats"])))
+        )
+        lang = F.normalize(lang, p=2, dim=1)
+        lang_cls_pred = dd["object_cat"]
+        bsz = len(dd["instance_points"])
+        pred_obb_batch, groups, group_sample = [], [], []
+        for i in range(bsz):
+            pts, obbs = [], []
+            for j in range(len(dd["instance_points"][i])):
+                if dd["instance_class"][i][j] == lang_cls_pred[i]:
+                    obbs.append(dd["instance_obbs"][i][j])
+                    pc = dd["instance_points"][i][j]
+                    coords, feats = quantize_first(pc[:, :3], pc, self.voxel_size_ap)
+                    pts.append((coords, torch.tensor(feats, dtype=torch.float32)))
+            if len(pts) >= 2:
+                groups += pts
+                group_sample += [i] * len(pts)
+            pred_obb_batch.append(np.asarray(obbs, np.float32).reshape(-1, 7))
+        dd["pred_obb_batch"] = pred_obb_batch
+        _, xs, _ = self.attr_net(groups) if groups else ([], [], 1)
+        pooled = (
+            torch.stack([x.max(0).values for x in xs]) if xs else torch.zeros(0, 128)
+        )
+        dd["obj_feats"] = pooled
+        vis = self.attr_vis1(F.relu(self.attr_vis_ln(self.attr_vis0(pooled))))
+        vis = F.normalize(vis, p=2, dim=1)
+        lang_flat = (
+            lang[np.asarray(group_sample, np.int64)]
+            if group_sample
+            else torch.zeros(0, lang.shape[1])
+        )
+        dd["attribute_scores"] = (vis * lang_flat).sum(1)
+
+        # ---- relation (train BN swapped in)
+        dd = self.rel(dd)
+
+        # ---- scene: joint-encode all scenes, then the eval head machinery
+        # with the train BNs swapped in
+        items = [
+            (coords, torch.tensor(feats, dtype=torch.float32))
+            for coords, feats in dd["lidar"]
+        ]
+        coords_l, xs, stride = self.scene_net(items)
+        se = self.scene_eval
+        bevs = []
+        for coords, x in zip(coords_l, xs):
+            ok = ((coords >= 0) & (coords < np.array([240, 400, 80]))).all(1)
+            coords, x = coords[ok], x[torch.from_numpy(np.nonzero(ok)[0])]
+            zbin = torch.from_numpy((coords[:, 2] // stride).astype(np.int64))
+            rows = torch.einsum("vc,vcd->vd", x, se.bev_kernel[zbin])
+            h, w = 240 // stride, 400 // stride
+            lin = torch.from_numpy(
+                ((coords[:, 0] // stride) * w + coords[:, 1] // stride).astype(np.int64)
+            )
+            grid = torch.zeros(h * w, 128)
+            grid.index_add_(0, lin, rows)
+            bevs.append(grid.reshape(h, w, 128))
+        bev = torch.stack(bevs)
+        bev = F.relu(se.bev_bn(bev)).permute(0, 3, 1, 2)
+        x = se._conv2d(bev, se.conv0_w, se.conv0_b)
+        x = se.conv_bn(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        x = F.relu(x)
+        x = se._conv2d(x, se.conv1_w, se.conv1_b)
+        hdim = x.shape[1]
+        cells = x.reshape(bsz, hdim, -1).permute(0, 2, 1)
+        lang_s = se.lang1(F.relu(se.lang_ln(se.lang0(dd["lang_scene_feats"]))))
+        atten = torch.bmm(cells, lang_s.unsqueeze(2)).squeeze(2) / math.sqrt(hdim)
+        atten = torch.softmax(atten, dim=1)
+        dd["vis_atten"] = atten.reshape(bsz, x.shape[2], x.shape[3])
+        scene_feats = (cells * atten.unsqueeze(2)).sum(1)
+        dd["seg_scores"] = se.cls1(F.relu(se.cls_bn(se.cls0(scene_feats))))
+        scene_flat = []
+        for i in range(bsz):
+            n = len(dd["pred_obb_batch"][i])
+            if n >= 2:
+                scene_flat.append(scene_feats[i : i + 1].repeat(n, 1))
+        scene_flat = (
+            torch.cat(scene_flat) if scene_flat else torch.zeros(0, hdim)
+        )
+        obj = se.obj1(F.relu(se.obj_ln(se.obj0(dd["obj_feats"]))))
+        dd["scene_scores"] = F.cosine_similarity(obj, scene_flat, dim=1)
+        return dd
+
+
+def gru_value_tree(gru) -> Dict:
+    """Current torch nn.GRU parameter VALUES in the flax layout (mirror of
+    collect_param_grads' gradient mapping)."""
+    out = {}
+    for layer in range(2):
+        for sfx, key in (("", "fwd"), ("_reverse", "bwd")):
+            out[f"l{layer}_{key}"] = {
+                "wx": getattr(gru, f"weight_ih_l{layer}{sfx}").detach().numpy().T.copy(),
+                "wh": getattr(gru, f"weight_hh_l{layer}{sfx}").detach().numpy().T.copy(),
+                "bx": getattr(gru, f"bias_ih_l{layer}{sfx}").detach().numpy().copy(),
+                "bh": getattr(gru, f"bias_hh_l{layer}{sfx}").detach().numpy().copy(),
+            }
+    return out
+
+
+def param_value_tree(params_t, replica) -> Dict:
+    """Current torch parameter VALUES in the flax layout (the trajectory
+    comparison reads this after each optimizer step)."""
+
+    def walk(t):
+        if isinstance(t, dict):
+            return {k: walk(v) for k, v in t.items()}
+        return t.detach().numpy().copy()
+
+    out = walk(params_t)
+    out["lang"]["gru"] = gru_value_tree(replica.lang.gru)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # gradient goldens: requires_grad param trees + grad collection
 # ---------------------------------------------------------------------------
 

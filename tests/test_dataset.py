@@ -192,6 +192,48 @@ def test_threaded_loader_matches_serial(fake_data_root):
             np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
 
 
+def test_multihost_loader_partitions_epoch(fake_data_root):
+    """Multi-host input sharding (parallel.mesh.host_shard_indices wired into
+    PaddedLoader): per-host sample sets are disjoint, their union is the
+    single-host epoch, and each sample's padded arrays are bit-identical to
+    the single-host build (seeds are positional in the global permutation)."""
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+
+    def run(pi, pc):
+        return list(
+            PaddedLoader(
+                ds, SPEC, batch_size=2, shuffle=True, num_workers=0,
+                drop_last=False, seed=5, process_index=pi, process_count=pc,
+            )
+        )
+
+    def rows(batches):
+        out = {}
+        for b in batches:
+            for i in range(len(b["sample_valid"])):
+                if b["sample_valid"][i]:
+                    out[int(b["scan_idx"][i])] = (
+                        b["lang_feat"][i].copy(),
+                        b["scene_feats"][i * SPEC.scene_caps[0]:(i + 1) * SPEC.scene_caps[0]].copy(),
+                    )
+        return out
+
+    single = rows(run(0, 1))
+    h0_batches, h1_batches = run(0, 2), run(1, 2)
+    # lockstep: both hosts yield the same number of batches == len(loader)
+    assert len(h0_batches) == len(h1_batches) == len(
+        PaddedLoader(ds, SPEC, batch_size=2, process_count=2)
+    )
+    h0, h1 = rows(h0_batches), rows(h1_batches)
+    assert set(h0).isdisjoint(h1)
+    assert set(h0) | set(h1) == set(single) == {0, 1, 2}
+    for hs in (h0, h1):
+        for idx, (lang, scene) in hs.items():
+            np.testing.assert_array_equal(lang, single[idx][0])
+            np.testing.assert_array_equal(scene, single[idx][1])
+
+
 def test_get_scanrefer_roundtrip(fake_data_root):
     root, scanrefer = fake_data_root
     loaded = get_scanrefer(root, "val")

@@ -61,23 +61,10 @@ def test_dp_grads_match_single_device():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
-def test_sharded_banded_localization_harness():
-    """The DP index-localization harness for the banded convs: a shard_map'd
-    conv over block-clamped metadata with per-shard offset subtraction must
-    equal the global conv.  (The local conv here is the XLA gather path —
-    this jax's interpret mode mis-shards pallas_calls with scalar prefetch
-    under shard_map, so the Pallas kernels themselves run single-device; the
-    metadata/localization math validated here is what a future shard_map
-    integration of the real kernels reuses, see ops/voxelize
-    compute_offset_window_starts(block=...).)"""
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
-
+def _banded_fixture(rng, n_dev=8, cap=256):
+    """Per-shard samples -> concatenated nbr map + block-clamped metadata."""
     from instancerefer_tpu.ops import voxelize as V
-    from instancerefer_tpu.ops.sparse import gather_conv
 
-    rng = np.random.default_rng(0)
-    n_dev, cap = 8, 256
     nbrs = []
     for b in range(n_dev):
         pts = rng.uniform(0, 3, size=(1200, 3))
@@ -87,37 +74,156 @@ def test_sharded_banded_localization_harness():
         nbrs.append(np.where(st.nbr3 >= 0, st.nbr3 + b * cap, -1))
     nbr = np.concatenate(nbrs)
     v = len(nbr)
-    chunk = window = subwin = block = 256  # one sample per shard
-    ws, wskt = V.compute_offset_window_starts(
-        nbr, chunk, window, subwin, v, block=block
+    chunk = 64
+    window = subwin = block = cap  # one sample per shard; window = whole shard
+    ws, wskt, dropped, total = V.compute_offset_window_starts(
+        nbr, chunk, window, subwin, v, block=block, count_drops=True
     )
+    assert dropped == 0 and total > 0
     # block clamping keeps every window inside its shard's rows
     n = v // chunk
     blk_lo = (np.arange(n) * chunk // block) * block
     live = ws >= 0
     assert (ws[live] >= blk_lo[live]).all()
     assert (ws[live] + window <= blk_lo[live] + block).all()
+    return nbr, ws, wskt, v, chunk, window, subwin
 
+
+def test_sharded_banded_conv_matches_global():
+    """The REAL banded Pallas kernel (interpret mode) under shard_map over
+    block-clamped, per-shard-localized metadata must equal the global XLA
+    conv — the multi-chip DP fast path (ops/pallas_conv.sharded_gather_conv)."""
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.ops.pallas_conv import sharded_gather_conv
+    from instancerefer_tpu.ops.sparse import gather_conv
+    from instancerefer_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    n_dev = 8
+    nbr, ws, wskt, v, chunk, window, subwin = _banded_fixture(rng, n_dev)
     feats = rng.normal(size=(v, 16)).astype(np.float32)
     kernel = (rng.normal(size=(27, 16, 16)) * 0.1).astype(np.float32)
-    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
-    local_rows = v // n_dev
+    make_mesh(jax.devices()[:n_dev])
 
-    def local_fn(feats_l, nbr_l, ws_l, wskt_l, kern):
-        off = jax.lax.axis_index("data") * local_rows
-        nbr_adj = jnp.where(nbr_l >= 0, nbr_l - off, -1)
-        del ws_l, wskt_l  # the XLA stand-in needs only the localized map
-        return gather_conv(feats_l, nbr_adj, kern)
-
-    @jax.jit
-    def run(feats, nbr, ws, wskt, kern):
-        f = jax.shard_map(
-            local_fn, mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data"), P(None, "data"), P()),
-            out_specs=P("data"), check_vma=False,
-        )
-        return f(feats, nbr, ws, wskt, kern)
-
-    out = np.asarray(run(*map(jnp.asarray, (feats, nbr, ws, wskt, kernel))))
+    out = sharded_gather_conv(
+        jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel),
+        jnp.asarray(ws), jnp.asarray(wskt),
+        window=window, chunk=chunk, subwin=subwin, shards=n_dev,
+        interpret=True,
+    )[:, :16]
     ref = np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel)))
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_banded_grads_match_global():
+    """Differentiable banded conv with shards=8: forward AND the fused
+    banded backward (dX row-sharded, dW psum'd over the mesh) must match the
+    global mirrored-gather XLA path's gradients."""
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.ops.pallas_conv import banded_subm_conv
+    from instancerefer_tpu.ops.sparse import subm_gather_conv
+    from instancerefer_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    n_dev = 8
+    nbr, ws, wskt, v, chunk, window, subwin = _banded_fixture(rng, n_dev)
+    feats = rng.normal(size=(v, 16)).astype(np.float32)
+    kernel = (rng.normal(size=(27, 16, 16)) * 0.1).astype(np.float32)
+    cot = rng.normal(size=(v, 16)).astype(np.float32)
+    make_mesh(jax.devices()[:n_dev])
+
+    def banded(f, k):
+        out = banded_subm_conv(
+            f, jnp.asarray(nbr), k, jnp.asarray(ws), jnp.asarray(wskt),
+            window=window, chunk=chunk, subwin=subwin, shards=n_dev,
+            interpret=True,
+        )[:, :16]
+        return jnp.sum(out * cot)
+
+    def xla(f, k):
+        return jnp.sum(subm_gather_conv(f, jnp.asarray(nbr), k) * cot)
+
+    gb = jax.grad(banded, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(kernel))
+    gx = jax.grad(xla, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gx[0]), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gx[1]), rtol=2e-3, atol=2e-4)
+
+
+def test_dp_banded_model_grads_match_xla():
+    """Full-model gradients through the shard_map'd banded kernels (8-device
+    DP, interpret mode, incl. banded down-conv fwd/dW and inverse-map dX)
+    must match the single-program XLA conv path on the same batch."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.data.pipeline import BatchSpec, batch_to_device_dict
+    from instancerefer_tpu.data.synthetic import make_batch
+    from instancerefer_tpu.models.instancerefer import InstanceRefer
+    from instancerefer_tpu.parallel.mesh import make_mesh, shard_batch
+    from instancerefer_tpu.train.losses import get_loss
+
+    n_dev = 8
+    spec = BatchSpec(
+        max_tokens=12,
+        max_instances=8,
+        max_candidates=4,
+        scene_caps=(128, 64, 32, 16, 16),
+        inst_caps=(128, 64, 32, 16, 16),
+        pallas_conv=True,
+        pallas_interpret=True,
+        data_shards=n_dev,
+        pallas_chunk=32,
+        pallas_window=128,
+        pallas_subwin=128,
+        pallas_subwin_inst=128,
+        pallas_down_chunk=32,
+        pallas_down_window=(0, 128, 0, 0, 0),
+        pallas_down_subwin=(0, 128, 0, 0, 0),
+        pallas_down_window_inst=(0, 128, 0, 0, 0),
+        pallas_down_subwin_inst=(0, 128, 0, 0, 0),
+        pallas_up_window=64,
+        pallas_up_subwin=64,
+    )
+    batch = make_batch(n_dev, spec, seed=7, num_points=600, num_instances=5)
+    dd_banded = batch_to_device_dict(dict(batch), spec)
+    dd_banded.pop("scene_band_drop", None)
+    dd_banded.pop("inst_band_drop", None)
+    # the banded path must actually engage on the stem + stage-1 down maps
+    assert dd_banded["scene_pyramid"][0].ws3 is not None
+    assert dd_banded["scene_pyramid"][1].wsd is not None
+    dd_xla = batch_to_device_dict(
+        dict(batch), dataclasses.replace(spec, pallas_conv=False)
+    )
+
+    model = InstanceRefer(
+        input_feature_dim=spec.feat_dim,
+        num_classes=spec.num_classes,
+        max_candidates=spec.max_candidates,
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        dd_xla, train=False,
+    )
+    mean_size = jnp.asarray(
+        np.linspace(0.3, 2.0, 18)[:, None] * np.array([[1.0, 0.9, 0.8]])
+    )
+
+    def loss_fn(params, dd):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            dd, train=False,
+        )
+        return get_loss(out, mean_size)["loss"]
+
+    g_xla = jax.device_get(jax.jit(jax.grad(loss_fn))(variables["params"], dd_xla))
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    sharded = shard_batch(dd_banded, mesh)
+    g_dp = jax.device_get(jax.jit(jax.grad(loss_fn))(variables["params"], sharded))
+
+    flat_x, flat_d = jax.tree_util.tree_leaves(g_xla), jax.tree_util.tree_leaves(g_dp)
+    for a, b in zip(flat_x, flat_d):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)

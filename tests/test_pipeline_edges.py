@@ -139,6 +139,65 @@ def test_solver_band_drop_warning(tmp_path):
     assert not os.path.exists(s2._log_path) or "dropped" not in open(s2._log_path).read()
 
 
+def test_checkpoint_resume_fidelity(tmp_path):
+    """The finish checkpoint persists the epoch counter and best-metric state
+    (reference checkpoint.tar, lib/solver.py:373-381), and load_checkpoint
+    restores them — including from older checkpoints lacking the fields."""
+    from instancerefer_tpu.train.solver import Solver
+
+    class _Shell(Solver):
+        def __init__(self, out):
+            self.root = str(out)
+            self.state = {
+                "params": {"w": np.ones(3, np.float32)},
+                "batch_stats": {"m": np.zeros(2, np.float32)},
+                "opt_state": {"count": np.asarray(7, np.int32)},
+                "epoch": 3,
+            }
+            self.best = {
+                "epoch": 2, "loss": 1.5, "ref_loss": 0.5, "lang_loss": 0.25,
+                "lang_acc": 0.8, "ref_acc": 0.6, "seg_acc": 0.7,
+                "iou_rate_0.25": 0.4, "iou_rate_0.5": 0.3,
+            }
+
+    a = _Shell(tmp_path)
+    a.save_checkpoint("checkpoint", with_opt=True)
+
+    b = _Shell(tmp_path / "b")
+    b.state = {
+        "params": {"w": np.zeros(3, np.float32)},
+        "batch_stats": {"m": np.ones(2, np.float32)},
+        "opt_state": {"count": np.asarray(0, np.int32)},
+        "epoch": 0,
+    }
+    b.best = {k: (0 if k == "epoch" else -float("inf")) for k in a.best}
+    b.best.update(loss=float("inf"), ref_loss=float("inf"), lang_loss=float("inf"))
+    b.load_checkpoint(str(tmp_path / "checkpoint"), with_opt=True)
+    assert b.state["epoch"] == 3
+    assert int(b.state["opt_state"]["count"]) == 7
+    np.testing.assert_array_equal(b.state["params"]["w"], np.ones(3))
+    assert b.best["iou_rate_0.25"] == 0.4 and b.best["epoch"] == 2
+
+    # old-format checkpoint (params/batch_stats/opt_state only) still loads
+    import orbax.checkpoint as ocp
+
+    old = tmp_path / "old_ckpt"
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(
+            str(old),
+            {
+                "params": {"w": np.full(3, 2.0, np.float32)},
+                "batch_stats": {"m": np.zeros(2, np.float32)},
+                "opt_state": {"count": np.asarray(1, np.int32)},
+            },
+            force=True,
+        )
+    c = _Shell(tmp_path / "c")
+    c.load_checkpoint(str(old), with_opt=True)
+    np.testing.assert_array_equal(c.state["params"]["w"], np.full(3, 2.0))
+    assert c.state["epoch"] == 3  # untouched by the old-format restore
+
+
 def test_calibrate_bands_helpers(rng):
     """scripts/calibrate_bands: minima/rounding logic on a known map."""
     import importlib.util
@@ -157,7 +216,8 @@ def test_calibrate_bands_helpers(rng):
     v, chunk = 512, 64
     nbr = np.full((v, 27), -1, np.int32)
     nbr[:, 13] = np.arange(v)
-    m = cb.min_subwin(nbr, chunk)
+    m, spread = cb.min_subwin(nbr, chunk)
+    assert spread == 0  # identity map: per-offset band == chunk band
     assert chunk <= m <= chunk + cb.ALIGN
     assert cb.recommend(m, margin=32) == 128
     assert cb.recommend(0, margin=32) == 0
@@ -181,7 +241,7 @@ def test_calibrate_bands_helpers(rng):
         pallas_chunk = 64
         pallas_down_chunk = 64
 
-    subm, down, up = cb.calibrate([batch], _Spec(), margin=16)
+    subm, down, up, spreads = cb.calibrate([batch], _Spec(), margin=16)
     assert subm[("scene", 0)] >= 64
     assert down[("scene", 1)] >= 64
     assert up[("scene", 1)] >= 32  # 2:1 compression halves the up span
