@@ -223,10 +223,55 @@ def main(batch_size: int = 32, iters: int = 20):
     except Exception as e:
         print(f"[bench] e2e bench skipped: {e}", file=sys.stderr)
 
+    # occupancy sweep: the exact empty-chunk skip makes throughput track LIVE
+    # voxels, not the static caps — measure eval scenes/s at three scene
+    # scales through the SAME compiled program (shapes are identical; only
+    # the occupancy of the padded arrays changes)
+    occupancy_curve = []
+    try:
+        for pts, ninst in ((10000, 6), (40000, 12), (80000, 16)):
+            if pts == 40000:
+                occ_batch, live = batch, None
+            else:
+                nb = make_batch(
+                    batch_size, spec, seed=2, num_points=pts,
+                    num_instances=ninst, num_candidates=4,
+                    mean_size_arr=mean_size,
+                )
+                live = float((nb["scene_owner_0"] >= 0).mean())
+                occ_batch = batch_to_device_dict(nb, spec)
+                occ_batch.pop("scene_band_drop", None)
+                occ_batch.pop("inst_band_drop", None)
+                occ_batch = jax.device_put(occ_batch)
+            if live is None:
+                live = float(np.asarray(np_batch["scene_owner_0"] >= 0).mean())
+            r = eval_step(variables, occ_batch)
+            np.asarray(r[0])  # warm (no recompile: same shapes)
+            t0 = time.time()
+            n_occ = max(iters // 2, 3)
+            for _ in range(n_occ):
+                r = eval_step(variables, occ_batch)
+            np.asarray(r[0])
+            sps = batch_size * n_occ / (time.time() - t0)
+            occupancy_curve.append(
+                {"points": pts, "live_voxel_frac": round(live, 3),
+                 "eval_scenes_s": round(sps, 1)}
+            )
+            print(
+                f"[bench] occupancy {pts} pts (live {live:.2f}) -> {sps:.1f} scenes/s",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] occupancy sweep skipped: {e}", file=sys.stderr)
+
     flops = model_flops_per_batch(spec, batch_size)
     mfu = flops * (scenes_per_sec / batch_size) / V5E_PEAK_BF16_FLOPS
+    # train step = forward + dX + dW passes over the same convs (~3x the
+    # useful forward FLOPs, the standard fwd:bwd accounting)
+    train_mfu = 3 * flops * (tps / batch_size) / V5E_PEAK_BF16_FLOPS if tps else 0.0
     print(
-        f"[bench] model flops/batch {flops/1e9:.1f} GF -> eval MFU {mfu:.3f}",
+        f"[bench] model flops/batch {flops/1e9:.1f} GF -> eval MFU {mfu:.3f}, "
+        f"train MFU {train_mfu:.3f}",
         file=sys.stderr,
     )
 
@@ -242,6 +287,8 @@ def main(batch_size: int = 32, iters: int = 20):
                 "train_scenes_s": round(tps, 2),
                 "e2e_scenes_s_1core_host": round(e2e_scenes_per_sec, 2),
                 "eval_mfu": round(mfu, 4),
+                "train_mfu": round(train_mfu, 4),
+                "occupancy_curve": occupancy_curve,
             }
         )
     )
