@@ -54,6 +54,12 @@ def model_flops_per_batch(spec, batch_size: int) -> float:
 def main(batch_size: int = 32, iters: int = 20):
     import jax
 
+    from instancerefer_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache = enable_compilation_cache()
+    if cache:
+        print(f"[bench] xla compilation cache: {cache}", file=sys.stderr)
+
     from instancerefer_tpu.data.pipeline import BatchSpec, batch_to_device_dict
     from instancerefer_tpu.data.synthetic import make_batch
     from instancerefer_tpu.models.instancerefer import InstanceRefer
@@ -64,8 +70,18 @@ def main(batch_size: int = 32, iters: int = 20):
 
     set_compute_dtype("bfloat16")  # production policy: bf16 GEMMs, f32 accum
 
-    # production capacities + the banded Pallas submanifold conv (eval path)
-    spec = BatchSpec(pallas_conv=True)
+    # production capacities + the banded Pallas conv.  One calibration
+    # deviation from the defaults (scripts/calibrate_bands.py workflow over
+    # the 10k/40k/80k-point configs this file runs): down-map stage 4 widens
+    # 256->384 — 80k-point scenes exceed the ScanRefer-scale default there.
+    # (Tightening down stage 1 1280->1152 was measured a wash — the down
+    # convs are ~10% of the step — and risked rare drops at 80k; kept wide.)
+    # The runtime drop counters verify zero drops on every batch below.
+    spec = BatchSpec(
+        pallas_conv=True,
+        pallas_down_subwin=(0, 1280, 768, 768, 384),
+        pallas_down_window=(0, 1536, 1024, 1024, 512),
+    )
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     t0 = time.time()
@@ -240,8 +256,15 @@ def main(batch_size: int = 32, iters: int = 20):
                 )
                 live = float((nb["scene_owner_0"] >= 0).mean())
                 occ_batch = batch_to_device_dict(nb, spec)
-                occ_batch.pop("scene_band_drop", None)
-                occ_batch.pop("inst_band_drop", None)
+                occ_drops = [
+                    float(occ_batch.pop(k, 0.0))
+                    for k in ("scene_band_drop", "inst_band_drop")
+                ]
+                if any(d > 0 for d in occ_drops):
+                    print(
+                        f"[bench] WARNING: band drops at {pts} pts: {occ_drops}",
+                        file=sys.stderr,
+                    )
                 occ_batch = jax.device_put(occ_batch)
             if live is None:
                 live = float(np.asarray(np_batch["scene_owner_0"] >= 0).mean())

@@ -84,6 +84,10 @@ def _pop_band_diagnostics(dd, _warned=[]):
 def eval_ref(cfg: Config):
     import jax
 
+    from instancerefer_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from instancerefer_tpu.data.dataset import (
         PaddedLoader,
         ScannetReferenceDataset,

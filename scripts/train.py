@@ -43,6 +43,10 @@ def init_experiment(cfg: Config, stamp: str):
 def train(cfg: Config):
     import jax
 
+    from instancerefer_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from instancerefer_tpu.ops.precision import set_compute_dtype
 
     set_compute_dtype(cfg.compute_dtype)

@@ -151,6 +151,40 @@ def test_sharded_banded_grads_match_global():
     np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gx[1]), rtol=2e-3, atol=2e-4)
 
 
+def test_sharded_wrapper_fallback_unsharded():
+    """shards>1 with no matching active mesh must fall back to the plain
+    kernel call — and block-clamped metadata is still VALID globally
+    (clamping only restricts windows to slabs that already contain all
+    their neighbors), so the fallback is exact, not just safe."""
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.ops.pallas_conv import sharded_gather_conv
+    from instancerefer_tpu.ops.sparse import gather_conv
+    from instancerefer_tpu.parallel.mesh import active_mesh, set_active_mesh
+
+    rng = np.random.default_rng(2)
+    n_dev = 8
+    nbr, ws, wskt, v, chunk, window, subwin = _banded_fixture(rng, n_dev)
+    feats = rng.normal(size=(v, 16)).astype(np.float32)
+    kernel = (rng.normal(size=(27, 16, 16)) * 0.1).astype(np.float32)
+
+    prev = active_mesh()
+    try:
+        set_active_mesh(None)  # no mesh registered -> unsharded fallback
+        out = sharded_gather_conv(
+            jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel),
+            jnp.asarray(ws), jnp.asarray(wskt),
+            window=window, chunk=chunk, subwin=subwin, shards=n_dev,
+            interpret=True,
+        )[:, :16]
+    finally:
+        set_active_mesh(prev)
+    ref = np.asarray(
+        gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(kernel))
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_dp_banded_model_grads_match_xla():
     """Full-model gradients through the shard_map'd banded kernels (8-device
     DP, interpret mode, incl. banded down-conv fwd/dW and inverse-map dX)
