@@ -113,6 +113,46 @@ class BatchSpec:
             inst_caps=tuple(max(8, int(c * factor)) for c in self.inst_caps),
         )
 
+    def stage_geometry(self, s: int, prefix: str):
+        """Effective per-sample banded-conv geometry of stage ``s``.
+
+        Band metadata is computed PER SAMPLE (in dataloader workers, so it
+        parallelizes and is shard-safe by construction — windows never leave
+        the sample's row block), which caps each window at the stage's row
+        budget.  Returns a dict with ``subm``/``down``/``up`` entries of
+        (chunk, window, subwin), any of which is None when that map cannot
+        band at this stage (capacity not chunk-divisible, window does not
+        fit the per-sample rows, or the profile disables it).
+        """
+        caps = self.scene_caps if prefix == "scene" else self.inst_caps
+        cap = caps[s]
+        prev_cap = caps[s - 1] if s > 0 else 0
+
+        def fit(chunk, window, subwin, v_out, v_in):
+            if not self.pallas_conv or subwin <= 0:
+                return None
+            window = min(window, v_in)
+            if v_out % chunk or window < subwin or window % 16 or v_in < window:
+                return None
+            return chunk, window, subwin
+
+        geom = {
+            "subm": fit(
+                self.pallas_chunk, self.pallas_window,
+                self.subwin_for(s, prefix), cap, cap,
+            ),
+            "down": None,
+            "up": None,
+        }
+        if s > 0:
+            d_chunk, d_window, d_subwin = self.down_geom_for(s, prefix)
+            geom["down"] = fit(d_chunk, d_window, d_subwin, cap, prev_cap)
+            geom["up"] = fit(
+                self.pallas_chunk, self.pallas_up_window, self.pallas_up_subwin,
+                prev_cap, cap,
+            )
+        return geom
+
 
 def compute_height_feature(point_cloud: np.ndarray) -> np.ndarray:
     """z - floor height; floor = 0.99th percentile of z (lib/dataset.py:120-123
@@ -243,7 +283,10 @@ def pad_sample(
         )
     )
     out.update(
-        _pack_pyramid(merged, inst_feats, spec.inst_caps, prefix="inst", feat_dim=spec.feat_dim)
+        _pack_pyramid(
+            merged, inst_feats, spec.inst_caps, prefix="inst",
+            feat_dim=spec.feat_dim, spec=spec,
+        )
     )
 
     # ---- scene voxel pyramid at voxel_size_glp (lib/dataset.py:256-261)
@@ -264,7 +307,7 @@ def pad_sample(
     out.update(
         _pack_pyramid(
             scene_pyr, feats.astype(np.float32), spec.scene_caps, prefix="scene",
-            feat_dim=spec.feat_dim,
+            feat_dim=spec.feat_dim, spec=spec,
         )
     )
 
@@ -288,12 +331,22 @@ def _pack_pyramid(
     caps: Sequence[int],
     prefix: str,
     feat_dim: int,
+    spec: Optional["BatchSpec"] = None,
 ) -> Dict[str, np.ndarray]:
+    """Pad stages to their caps and (when ``spec`` is given) precompute ALL
+    per-sample device metadata: inverse down maps and banded-conv window
+    starts.  Chunks never straddle samples (caps are chunk multiples), so
+    per-sample metadata concatenates into exact batch metadata by index
+    offsetting (``collate``) — moving this work into the (parallel)
+    dataloader workers instead of a serial per-batch pass; it is also
+    shard-safe by construction (windows stay inside the sample's block).
+    """
     out: Dict[str, np.ndarray] = {}
     n0 = min(len(feats), caps[0])
     f = np.zeros((caps[0], feat_dim), np.float32)
     f[:n0] = feats[:n0]
     out[f"{prefix}_feats"] = f
+    dropped = total = 0
     for s, cap in enumerate(caps):
         st = V.pad_stage(stages[s], cap, caps[s - 1] if s > 0 else None)
         out[f"{prefix}_coords_{s}"] = st.coords
@@ -301,6 +354,49 @@ def _pack_pyramid(
         out[f"{prefix}_nbr3_{s}"] = st.nbr3
         if s > 0:
             out[f"{prefix}_down_{s}"] = st.down
+        if spec is None:
+            continue
+        geom = spec.stage_geometry(s, prefix)
+
+        def bands(nbr, g, v_in):
+            nonlocal dropped, total
+            chunk, window, subwin = g
+            res = V.compute_offset_window_starts(
+                nbr, chunk, window, subwin, v_in,
+                count_drops=spec.pallas_count_drops,
+            )
+            if spec.pallas_count_drops:
+                ws, wskt, d, t = res
+                dropped += d
+                total += t
+                return ws, wskt
+            return res
+
+        if geom["subm"] is not None:
+            ws, wskt = bands(st.nbr3, geom["subm"], cap)
+            out[f"{prefix}_ws3_{s}"] = ws
+            out[f"{prefix}_wskt3_{s}"] = wskt
+        if s > 0:
+            prev_cap = caps[s - 1]
+            up_row, up_k = V.invert_down(st.down, prev_cap)
+            out[f"{prefix}_uprow_{s}"] = up_row
+            out[f"{prefix}_upk_{s}"] = up_k
+            if geom["down"] is not None:
+                ws, wskt = bands(st.down, geom["down"], prev_cap)
+                out[f"{prefix}_dws_{s}"] = ws
+                out[f"{prefix}_dwskt_{s}"] = wskt
+                if geom["up"] is not None:
+                    up8 = np.where(
+                        up_k[:, None] == np.arange(8, dtype=np.int32)[None, :],
+                        up_row[:, None], -1,
+                    ).astype(np.int32)
+                    ws, wskt = bands(up8, geom["up"], cap)
+                    out[f"{prefix}_up8_{s}"] = up8
+                    out[f"{prefix}_uws_{s}"] = ws
+                    out[f"{prefix}_uwskt_{s}"] = wskt
+    if spec is not None:
+        out[f"{prefix}_band_dropped"] = np.int64(dropped)
+        out[f"{prefix}_band_total"] = np.int64(total)
     return out
 
 
@@ -311,6 +407,8 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
     sample ``b`` owning rows ``[b*cap, (b+1)*cap)``; neighbor maps get the
     same offset (padding -1 preserved); owners become global ids
     (scene: batch index, instance: ``b * max_candidates + local_candidate``).
+    Per-sample band metadata (window starts index INPUT rows) offsets by the
+    input stage's cap; ``-1`` empty-chunk marks are preserved.
     """
     b = len(samples)
     cmax = spec.max_candidates
@@ -321,36 +419,91 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
         for k in samples[0]
         if k.startswith(("scene_", "inst_"))
         and k != "instance_mask"
-        and not k.endswith("_overflow")  # scalar diagnostics stack like plain keys
+        and not k.endswith(("_overflow", "_band_dropped", "_band_total"))
     }
     plain = [k for k in samples[0] if k not in pyramid_keys]
     for k in plain:
         out[k] = np.stack([s[k] for s in samples])
 
+    def cat_off(key, off_per_sample, signed=True, axis=0):
+        """Concatenate samples' ``key`` arrays, adding ``bi * off`` to the
+        index values (rows of the referenced stage); ``signed`` preserves -1
+        sentinels; transposed [K, n] metadata concatenates on axis 1.
+
+        collate runs serially in the main process (the per-sample heavy work
+        already happened in worker threads), so this is written as the
+        minimum number of memory passes: one copy into the preallocated
+        output + one masked in-place add per sample — no [B, ...] stack or
+        np.where temporaries (this box moves ~3.4 GB/s single-core; the
+        neighbor maps are the biggest arrays in the batch)."""
+        a0 = samples[0][key]
+        if axis == 0:
+            n = a0.shape[0]
+            dst = np.empty((b * n,) + a0.shape[1:], a0.dtype)
+            for bi, s in enumerate(samples):
+                a = s[key]
+                d = dst[bi * n : (bi + 1) * n]
+                np.copyto(d, a)
+                off = bi * off_per_sample
+                if off:
+                    if signed:
+                        np.add(d, a0.dtype.type(off), out=d, where=a >= 0)
+                    else:
+                        d += a0.dtype.type(off)
+            return dst
+        n = a0.shape[1]
+        dst = np.empty((a0.shape[0], b * n), a0.dtype)
+        for bi, s in enumerate(samples):
+            a = s[key]
+            d = dst[:, bi * n : (bi + 1) * n]
+            np.copyto(d, a)
+            off = bi * off_per_sample
+            if off:
+                if signed:
+                    np.add(d, a0.dtype.type(off), out=d, where=a >= 0)
+                else:
+                    d += a0.dtype.type(off)
+        return dst
+
     for prefix, caps in (("scene", spec.scene_caps), ("inst", spec.inst_caps)):
         out[f"{prefix}_feats"] = np.concatenate([s[f"{prefix}_feats"] for s in samples])
+        for dk in ("band_dropped", "band_total"):
+            key = f"{prefix}_{dk}"
+            if key in samples[0]:
+                out[key] = np.int64(sum(int(s[key]) for s in samples))
         for s_i, cap in enumerate(caps):
-            coords = np.concatenate([s[f"{prefix}_coords_{s_i}"] for s in samples])
-            owners = []
-            nbrs = []
-            downs = []
-            for bi, smp in enumerate(samples):
-                ow = smp[f"{prefix}_owner_{s_i}"]
-                if prefix == "scene":
-                    owners.append(np.where(ow >= 0, bi, -1).astype(np.int32))
-                else:
-                    owners.append(np.where(ow >= 0, ow + bi * cmax, -1).astype(np.int32))
-                nb = smp[f"{prefix}_nbr3_{s_i}"]
-                nbrs.append(np.where(nb >= 0, nb + bi * cap, -1).astype(np.int32))
-                if s_i > 0:
-                    dn = smp[f"{prefix}_down_{s_i}"]
-                    prev_cap = caps[s_i - 1]
-                    downs.append(np.where(dn >= 0, dn + bi * prev_cap, -1).astype(np.int32))
-            out[f"{prefix}_coords_{s_i}"] = coords
-            out[f"{prefix}_owner_{s_i}"] = np.concatenate(owners)
-            out[f"{prefix}_nbr3_{s_i}"] = np.concatenate(nbrs)
+            prev_cap = caps[s_i - 1] if s_i > 0 else 0
+            out[f"{prefix}_coords_{s_i}"] = np.concatenate(
+                [s[f"{prefix}_coords_{s_i}"] for s in samples]
+            )
+            ow = np.stack([s[f"{prefix}_owner_{s_i}"] for s in samples])
+            if prefix == "scene":
+                ids = np.broadcast_to(
+                    np.arange(b, dtype=np.int32)[:, None], ow.shape
+                )
+            else:
+                ids = ow + (np.arange(b, dtype=np.int32) * cmax)[:, None]
+            out[f"{prefix}_owner_{s_i}"] = np.where(ow >= 0, ids, -1).reshape(-1)
+            out[f"{prefix}_nbr3_{s_i}"] = cat_off(f"{prefix}_nbr3_{s_i}", cap)
             if s_i > 0:
-                out[f"{prefix}_down_{s_i}"] = np.concatenate(downs)
+                out[f"{prefix}_down_{s_i}"] = cat_off(f"{prefix}_down_{s_i}", prev_cap)
+            # per-sample precomputed metadata -> batch metadata by offsetting
+            # with the INPUT-row space of each map (subm: this stage; down:
+            # previous stage; up/up8: this stage)
+            meta = (
+                (f"{prefix}_ws3_{s_i}", cap, True, 0),
+                (f"{prefix}_wskt3_{s_i}", cap, False, 1),
+                (f"{prefix}_uprow_{s_i}", cap, True, 0),
+                (f"{prefix}_upk_{s_i}", 0, False, 0),
+                (f"{prefix}_up8_{s_i}", cap, True, 0),
+                (f"{prefix}_uws_{s_i}", cap, True, 0),
+                (f"{prefix}_uwskt_{s_i}", cap, False, 1),
+                (f"{prefix}_dws_{s_i}", prev_cap, True, 0),
+                (f"{prefix}_dwskt_{s_i}", prev_cap, False, 1),
+            )
+            for key, off, signed, axis in meta:
+                if key in samples[0]:
+                    out[key] = cat_off(key, off, signed=signed, axis=axis)
     return out
 
 
@@ -391,12 +544,66 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
     """
     from instancerefer_tpu.ops.sparse import SparseStage
 
-    dd = {
-        k: v
-        for k, v in batch.items()
-        if not k.startswith(("scene_coords", "scene_owner", "scene_nbr3", "scene_down",
-                             "inst_coords", "inst_owner", "inst_nbr3", "inst_down"))
-    }
+    _stems = (
+        "coords", "owner", "nbr3", "down", "ws3", "wskt3", "uprow", "upk",
+        "up8", "uws", "uwskt", "dws", "dwskt", "band",
+    )
+    _drop = tuple(f"{p}_{s}" for p in ("scene", "inst") for s in _stems)
+    dd = {k: v for k, v in batch.items() if not k.startswith(_drop)}
+
+    def pyramid_precomputed(prefix):
+        """Assemble SparseStages from the per-sample metadata the pipeline
+        precomputed in (parallel) worker threads — the fast path; the
+        batch-level fallback below serves hand-built batches."""
+        stages = []
+        for s in range(spec.num_stages):
+            nbr3 = batch[f"{prefix}_nbr3_{s}"]
+            down = (
+                batch[f"{prefix}_down_{s}"]
+                if s > 0
+                else np.zeros((nbr3.shape[0], 0), np.int32)
+            )
+            owner = batch[f"{prefix}_owner_{s}"]
+            # gate on the CONSUMER spec's geometry: a batch collated with
+            # banding on must still take the XLA path when converted with a
+            # pallas-off (or differently-shaped) spec
+            geom = spec.stage_geometry(s, prefix)
+            g_subm = geom["subm"] if f"{prefix}_ws3_{s}" in batch else None
+            g_down = geom["down"] if f"{prefix}_dws_{s}" in batch else None
+            g_up = geom["up"] if f"{prefix}_uws_{s}" in batch else None
+            stages.append(
+                SparseStage(
+                    coords=batch[f"{prefix}_coords_{s}"],
+                    owner=owner,
+                    mask=owner >= 0,
+                    nbr3=nbr3,
+                    down=down,
+                    stride=1 << s,
+                    ws3=batch.get(f"{prefix}_ws3_{s}") if g_subm else None,
+                    wsk3=batch.get(f"{prefix}_wskt3_{s}") if g_subm else None,
+                    up_row=batch.get(f"{prefix}_uprow_{s}"),
+                    up_k=batch.get(f"{prefix}_upk_{s}"),
+                    wsd=batch.get(f"{prefix}_dws_{s}") if g_down else None,
+                    wskd=batch.get(f"{prefix}_dwskt_{s}") if g_down else None,
+                    up8=batch.get(f"{prefix}_up8_{s}") if g_up else None,
+                    wsu=batch.get(f"{prefix}_uws_{s}") if g_up else None,
+                    wsktu=batch.get(f"{prefix}_uwskt_{s}") if g_up else None,
+                    pallas_chunk=g_subm[0] if g_subm else 0,
+                    pallas_window=g_subm[1] if g_subm else 0,
+                    pallas_subwin=g_subm[2] if g_subm else 0,
+                    pallas_down_chunk=g_down[0] if g_down else 0,
+                    pallas_down_window=g_down[1] if g_down else 0,
+                    pallas_down_subwin=g_down[2] if g_down else 0,
+                    pallas_up_chunk=g_up[0] if g_up else 0,
+                    pallas_up_window=g_up[1] if g_up else 0,
+                    pallas_up_subwin=g_up[2] if g_up else 0,
+                    data_shards=max(spec.data_shards, 1),
+                    pallas_interpret=spec.pallas_interpret,
+                )
+            )
+        dropped = int(batch.get(f"{prefix}_band_dropped", 0))
+        total = int(batch.get(f"{prefix}_band_total", 0))
+        return tuple(stages), np.float32(dropped / max(total, 1))
 
     def pyramid(prefix):
         from instancerefer_tpu.ops.voxelize import compute_offset_window_starts
@@ -537,8 +744,13 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
             prev_v = v
         return tuple(stages), np.float32(dropped / max(total, 1))
 
-    dd["scene_pyramid"], scene_bd = pyramid("scene")
-    dd["inst_pyramid"], inst_bd = pyramid("inst")
+    # precomputed per-sample metadata (uprow is emitted unconditionally for
+    # s>0 by _pack_pyramid) marks the fast path; hand-built batches fall
+    # back to the batch-level computation
+    fast = f"scene_uprow_1" in batch if spec.num_stages > 1 else False
+    build = pyramid_precomputed if fast else pyramid
+    dd["scene_pyramid"], scene_bd = build("scene")
+    dd["inst_pyramid"], inst_bd = build("inst")
     if spec.pallas_conv and spec.pallas_count_drops:
         # batch-level host diagnostics; the solver reads + pops these before
         # device placement (a 0-d leaf cannot shard over the data axis)

@@ -114,6 +114,43 @@ def test_down_and_up_band_metadata_emitted(rng):
     assert "scene_band_drop" in dd and float(dd["scene_band_drop"]) == 0.0
 
 
+def test_per_sample_metadata_matches_batch_level(rng):
+    """The per-sample band metadata precomputed in pad_sample (offset at
+    collate) must drive the banded kernel to EXACTLY the batch-level
+    XLA conv result — the parallel-worker fast path cannot change numerics."""
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.data.pipeline import batch_to_device_dict
+    from instancerefer_tpu.ops.pallas_conv import windowed_gather_conv
+    from instancerefer_tpu.ops.sparse import gather_conv
+
+    spec_on = dataclasses.replace(
+        TEST_SPEC,
+        pallas_conv=True, pallas_chunk=64, pallas_window=256, pallas_subwin=256,
+        scene_caps=(1024, 512, 256, 256, 256),
+        inst_caps=(1024, 512, 256, 256, 256),
+    )
+    samples = [pad_sample(make_core_sample(rng, scan_idx=i), spec_on) for i in range(3)]
+    # per-sample precomputed metadata present before collate
+    assert "scene_ws3_0" in samples[0] and "scene_uprow_1" in samples[0]
+    batch = collate(samples, spec_on)
+    assert int(batch["scene_band_dropped"]) == 0
+    dd = batch_to_device_dict(dict(batch), spec_on)
+    st = dd["scene_pyramid"][0]
+    assert st.ws3 is not None and st.pallas_window == 256
+
+    feats = rng.normal(size=(st.nbr3.shape[0], 16)).astype(np.float32)
+    kernel = (rng.normal(size=(27, 16, 16)) * 0.1).astype(np.float32)
+    out = windowed_gather_conv(
+        jnp.asarray(feats), jnp.asarray(st.nbr3), jnp.asarray(kernel),
+        jnp.asarray(st.ws3), jnp.asarray(st.wsk3),
+        window=st.pallas_window, chunk=st.pallas_chunk,
+        subwin=st.pallas_subwin, interpret=True,
+    )[:, :16]
+    ref = gather_conv(jnp.asarray(feats), jnp.asarray(st.nbr3), jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_solver_band_drop_warning(tmp_path):
     """The epoch report warns loudly when any banded conv dropped neighbors."""
     from instancerefer_tpu.train.solver import Solver
