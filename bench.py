@@ -60,7 +60,11 @@ def main(batch_size: int = 32, iters: int = 20):
     if cache:
         print(f"[bench] xla compilation cache: {cache}", file=sys.stderr)
 
-    from instancerefer_tpu.data.pipeline import BatchSpec, batch_to_device_dict
+    from instancerefer_tpu.data.pipeline import (
+        BatchSpec,
+        batch_to_device_dict,
+        pop_band_diagnostics,
+    )
     from instancerefer_tpu.data.synthetic import make_batch
     from instancerefer_tpu.models.instancerefer import InstanceRefer
     from instancerefer_tpu.train.evaluate import get_eval
@@ -96,12 +100,8 @@ def main(batch_size: int = 32, iters: int = 20):
         mean_size_arr=mean_size,
     )
     batch = batch_to_device_dict(np_batch, spec)
-    # 0-d host diagnostics must not enter jitted steps (cannot shard; the
-    # solver pops them the same way) — read + surface them here instead
-    band_drops = [
-        float(batch.pop(k, 0.0)) for k in ("scene_band_drop", "inst_band_drop")
-    ]
-    if any(d > 0 for d in band_drops):
+    band_drops = pop_band_diagnostics(batch)
+    if any(d > 0 for d in band_drops.values()):
         print(f"[bench] WARNING: banded conv dropped neighbors {band_drops}", file=sys.stderr)
     print(f"[bench] data built in {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -219,8 +219,7 @@ def main(batch_size: int = 32, iters: int = 20):
             with ThreadPoolExecutor(4) as pool:
                 padded = list(pool.map(lambda c: pad_sample(c, spec), cores, chunksize=2))
             dd = batch_to_device_dict(collate(padded, spec), spec)
-            dd.pop("scene_band_drop", None)
-            dd.pop("inst_band_drop", None)
+            pop_band_diagnostics(dd)
             return dd
 
         warm = eval_step(variables, jax.device_put(build_batch(0)))
@@ -256,11 +255,8 @@ def main(batch_size: int = 32, iters: int = 20):
                 )
                 live = float((nb["scene_owner_0"] >= 0).mean())
                 occ_batch = batch_to_device_dict(nb, spec)
-                occ_drops = [
-                    float(occ_batch.pop(k, 0.0))
-                    for k in ("scene_band_drop", "inst_band_drop")
-                ]
-                if any(d > 0 for d in occ_drops):
+                occ_drops = pop_band_diagnostics(occ_batch)
+                if any(d > 0 for d in occ_drops.values()):
                     print(
                         f"[bench] WARNING: band drops at {pts} pts: {occ_drops}",
                         file=sys.stderr,

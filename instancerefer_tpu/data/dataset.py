@@ -338,14 +338,17 @@ class PaddedLoader:
     loss/metric denominator see exactly the reference's smaller batch.
 
     Multi-host data parallelism: pass ``process_index``/``process_count``
-    (``jax.process_index()``/``jax.process_count()``) and each host loads a
-    disjoint 1-in-``process_count`` slice of the same global permutation
-    (``parallel.mesh.host_shard_indices``); per-sample RNG seeds are
-    positional in the *global* permutation, so the union of all hosts'
-    samples is exactly the single-host epoch.  Every host yields the same
-    number of batches (computed from the smallest host shard) so collective
-    steps stay in lockstep; at most ``process_count - 1`` samples per epoch
-    land on no host when the sample count is not divisible.
+    (``jax.process_index()``/``jax.process_count()``) and the PER-HOST
+    ``batch_size`` (global batch / process_count — ``scripts/train.py``
+    does this); each host loads a disjoint 1-in-``process_count`` slice of
+    the same global permutation (``parallel.mesh.host_shard_indices``), and
+    ``parallel.mesh.shard_batch`` assembles the hosts' batches into the
+    global batch via ``jax.make_array_from_process_local_data``.  Per-sample
+    RNG seeds are positional in the *global* permutation, so the union of
+    all hosts' samples is exactly the single-host epoch.  Every host yields
+    the same number of batches (computed from the smallest host shard) so
+    collective steps stay in lockstep; at most ``process_count - 1`` samples
+    per epoch land on no host when the sample count is not divisible.
     """
 
     def __init__(

@@ -153,6 +153,21 @@ class BatchSpec:
             )
         return geom
 
+    def geometry_fingerprint(self, prefix: str) -> int:
+        """Stable hash of every stage's effective band geometry (+ caps).
+
+        Stored alongside per-sample metadata and checked by
+        ``batch_to_device_dict``: metadata precomputed under a DIFFERENT
+        geometry must not be consumed (wrong windows would silently drop
+        neighbors or DMA out of range) — a mismatch falls back to the
+        batch-level computation.
+        """
+        import zlib
+
+        caps = self.scene_caps if prefix == "scene" else self.inst_caps
+        desc = repr((tuple(caps), [self.stage_geometry(s, prefix) for s in range(self.num_stages)]))
+        return zlib.crc32(desc.encode())
+
 
 def compute_height_feature(point_cloud: np.ndarray) -> np.ndarray:
     """z - floor height; floor = 0.99th percentile of z (lib/dataset.py:120-123
@@ -397,6 +412,7 @@ def _pack_pyramid(
     if spec is not None:
         out[f"{prefix}_band_dropped"] = np.int64(dropped)
         out[f"{prefix}_band_total"] = np.int64(total)
+        out[f"{prefix}_band_geom"] = np.int64(spec.geometry_fingerprint(prefix))
     return out
 
 
@@ -419,7 +435,7 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
         for k in samples[0]
         if k.startswith(("scene_", "inst_"))
         and k != "instance_mask"
-        and not k.endswith(("_overflow", "_band_dropped", "_band_total"))
+        and not k.endswith(("_overflow", "_band_dropped", "_band_total", "_band_geom"))
     }
     plain = [k for k in samples[0] if k not in pyramid_keys]
     for k in plain:
@@ -471,6 +487,11 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
             key = f"{prefix}_{dk}"
             if key in samples[0]:
                 out[key] = np.int64(sum(int(s[key]) for s in samples))
+        gkey = f"{prefix}_band_geom"
+        if gkey in samples[0]:
+            geoms = {int(s[gkey]) for s in samples}
+            assert len(geoms) == 1, f"mixed band geometries in one batch: {geoms}"
+            out[gkey] = np.int64(geoms.pop())
         for s_i, cap in enumerate(caps):
             prev_cap = caps[s_i - 1] if s_i > 0 else 0
             out[f"{prefix}_coords_{s_i}"] = np.concatenate(
@@ -536,6 +557,20 @@ def finalize_batch(
     return out
 
 
+BAND_DIAGNOSTIC_KEYS = ("scene_band_drop", "inst_band_drop")
+
+
+def pop_band_diagnostics(dd: Dict) -> Dict[str, float]:
+    """Remove the 0-d host-side banded-conv drop counters from a device dict.
+
+    They MUST NOT be fed into jitted steps (a 0-d leaf cannot shard over the
+    data axis); every consumer (solver prefetch, eval CLI, bench) pops them
+    through this one helper so new diagnostic keys only need adding here.
+    Returns {key: fraction} for the caller to log/warn on.
+    """
+    return {k: float(dd.pop(k)) for k in BAND_DIAGNOSTIC_KEYS if k in dd}
+
+
 def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
     """Flat numpy batch -> the data_dict pytree the model consumes.
 
@@ -555,6 +590,19 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
         """Assemble SparseStages from the per-sample metadata the pipeline
         precomputed in (parallel) worker threads — the fast path; the
         batch-level fallback below serves hand-built batches."""
+        if spec.data_shards > 1:
+            # per-sample metadata is shard-safe only when whole samples land
+            # on shards — a straddling sample would make the localized
+            # kernels gather WRONG rows silently.  The global batch is this
+            # host's batch times the process count (multi-host assembly,
+            # parallel.mesh.shard_batch).
+            import jax
+
+            b_global = batch["cand_mask"].shape[0] * jax.process_count()
+            assert b_global % spec.data_shards == 0, (
+                f"global batch size {b_global} must divide over data_shards="
+                f"{spec.data_shards} for the sharded banded kernels"
+            )
         stages = []
         for s in range(spec.num_stages):
             nbr3 = batch[f"{prefix}_nbr3_{s}"]
@@ -745,9 +793,16 @@ def batch_to_device_dict(batch: Dict[str, np.ndarray], spec: BatchSpec) -> Dict:
         return tuple(stages), np.float32(dropped / max(total, 1))
 
     # precomputed per-sample metadata (uprow is emitted unconditionally for
-    # s>0 by _pack_pyramid) marks the fast path; hand-built batches fall
-    # back to the batch-level computation
+    # s>0 by _pack_pyramid) marks the fast path; hand-built batches — or
+    # batches whose metadata was packed under a DIFFERENT band geometry than
+    # this spec's (fingerprint mismatch) — fall back to the batch-level
+    # computation
     fast = f"scene_uprow_1" in batch if spec.num_stages > 1 else False
+    if fast:
+        for _p in ("scene", "inst"):
+            g = batch.get(f"{_p}_band_geom")
+            if g is not None and int(g) != spec.geometry_fingerprint(_p):
+                fast = False
     build = pyramid_precomputed if fast else pyramid
     dd["scene_pyramid"], scene_bd = build("scene")
     dd["inst_pyramid"], inst_bd = build("inst")

@@ -68,6 +68,14 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
     stored transposed as [K, n_chunks] for the kernels' SMEM layout — its
     batch-divisible axis is axis 1, so it shards as P(None, "data").
 
+    Multi-host: each host's loader yields PER-HOST batches (disjoint sample
+    slices, ``host_shard_indices``); the host's arrays are its addressable
+    portion of the global batch, assembled with
+    ``jax.make_array_from_process_local_data`` — the global batch dimension
+    is ``local * process_count``.  (Requires the mesh's device order to
+    place each process's devices on a contiguous range of the data axis,
+    which ``make_mesh()`` over ``jax.devices()`` gives.)
+
     Without a mesh the batch is still device_put (asynchronously) so that
     prefetching overlaps host->device transfer with compute.
     """
@@ -75,14 +83,33 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
         return jax.device_put(batch)
     sh = batch_sharding(mesh)
     sh_t = NamedSharding(mesh, P(None, "data"))
+    pc = jax.process_count()
 
     def place(path, x):
         transposed = any(
             getattr(p, "name", None) in ("wsk3", "wskd", "wsktu") for p in path
         )
-        return jax.device_put(x, sh_t if transposed else sh)
+        if pc == 1:
+            return jax.device_put(x, sh_t if transposed else sh)
+        x = np.asarray(x)
+        if transposed:
+            gshape = (x.shape[0], x.shape[1] * pc)
+            return jax.make_array_from_process_local_data(sh_t, x, gshape)
+        gshape = (x.shape[0] * pc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, gshape)
 
     return jax.tree_util.tree_map_with_path(place, batch)
+
+
+def host_local(x) -> np.ndarray:
+    """Fetch an array to host numpy; for multi-host globally-sharded arrays
+    (not fully addressable), concatenate this process's addressable shards —
+    each host then sees exactly its own samples' rows."""
+    try:
+        return np.asarray(jax.device_get(x))
+    except RuntimeError:
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def host_shard_indices(num_samples: int, *, process_index=None, process_count=None):

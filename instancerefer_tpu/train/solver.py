@@ -309,14 +309,12 @@ class Solver:
                         overflow_log["scene"].append(float(so.mean()))
                         overflow_log["inst"].append(float(io_.mean()))
                 # banded-conv neighbor drops: batch-level host scalars; popped
-                # (not fed) — a 0-d leaf cannot shard over the data axis
-                bd = [
-                    float(nxt.pop(k))
-                    for k in ("scene_band_drop", "inst_band_drop")
-                    if k in nxt
-                ]
+                # (not fed) through the shared helper
+                from instancerefer_tpu.data.pipeline import pop_band_diagnostics
+
+                bd = pop_band_diagnostics(nxt)
                 if overflow_log is not None and bd:
-                    overflow_log.setdefault("band", []).append(max(bd))
+                    overflow_log.setdefault("band", []).append(max(bd.values()))
                 queue.append(shard_batch(nxt, self.mesh))
             if not queue:
                 return
@@ -368,7 +366,11 @@ class Solver:
                 metrics = self._eval_step(
                     self.state["params"], self.state["batch_stats"], batch
                 )
-            metrics = jax.device_get(metrics)
+            # per-sample metric rows of a multi-host batch are globally
+            # sharded; each host aggregates its own samples' rows
+            from instancerefer_tpu.parallel.mesh import host_local
+
+            metrics = jax.tree.map(host_local, metrics)
             step_time = time.time() - start
             # forward+backward are one fused program on TPU; split the wall
             # time 1:2 for the report's forward/backward fields.
@@ -495,16 +497,26 @@ class Solver:
         with ocp.StandardCheckpointer() as ckptr:
             try:
                 restored = ckptr.restore(os.path.abspath(path), template)
-            except BaseException:
+            except Exception as first_err:
                 if not with_opt:
                     raise
-                # pre-resume-fidelity checkpoint without epoch/best
+                # pre-resume-fidelity checkpoint without epoch/best; if the
+                # legacy-template retry ALSO fails, surface the original
+                # error (a genuinely corrupt checkpoint, not a format skew)
                 template.pop("epoch")
                 template.pop("best")
-                restored = ckptr.restore(os.path.abspath(path), template)
+                try:
+                    restored = ckptr.restore(os.path.abspath(path), template)
+                except Exception:
+                    raise first_err
         best = restored.pop("best", None)
         if best is not None:
-            self.best.update({k: float(v) for k, v in best.items()})
+            self.best.update(
+                {
+                    k: (int(v) if k == "epoch" else float(v))
+                    for k, v in best.items()
+                }
+            )
         if "epoch" in restored:
             restored["epoch"] = int(restored["epoch"])
         self.state.update(restored)

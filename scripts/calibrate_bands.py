@@ -197,7 +197,7 @@ def main(argv=None):
                 ("window", "subm", subm, spec.pallas_window, "pallas_window"),
                 ("down_window", "down", down,
                  spec.down_geom_for(s, prefix)[1], "pallas_down_window"),
-                ("up_window", "up", up, spec.pallas_up_window, "pallas_up_subwin"),
+                ("up_window", "up", up, spec.pallas_up_window, "pallas_up_window"),
             ]
             for label, name, table, have, yaml_key in checks:
                 need = window_req(name, table, key)

@@ -69,15 +69,16 @@ def resolve_run_dir(cfg: Config) -> str:
 
 
 def _pop_band_diagnostics(dd, _warned=[]):
-    """Host-side banded-conv drop counters: 0-d leaves that must not be fed
-    into jitted steps (they cannot shard over the data axis; the solver pops
-    them the same way).  Warn once if bands ever dropped a neighbor."""
-    drops = [dd.pop(k, 0.0) for k in ("scene_band_drop", "inst_band_drop")]
-    if not _warned and any(float(d) > 0 for d in drops):
+    """Strip the 0-d band-drop counters before jit (shared helper) and warn
+    once if bands ever dropped a neighbor."""
+    from instancerefer_tpu.data.pipeline import pop_band_diagnostics
+
+    drops = pop_band_diagnostics(dd)
+    if not _warned and any(d > 0 for d in drops.values()):
         _warned.append(True)
         print(
-            f"WARNING: banded conv dropped neighbors (scene {float(drops[0]):.3%}, "
-            f"inst {float(drops[1]):.3%}) — raise pallas_subwin for exact scores"
+            f"WARNING: banded conv dropped neighbors {drops} — raise "
+            "pallas_subwin for exact scores"
         )
 
 

@@ -13,14 +13,23 @@ For each ordering: per-stage subm/down/up band minima at the production
 chunk sizes, and a total-cost model Sum over conv passes of V*K*subwin
 (fwd + bwd legs).
 """
+import importlib.util
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from instancerefer_tpu.ops import voxelize as V
 from instancerefer_tpu.data.synthetic import make_core_sample
 from instancerefer_tpu.data.pipeline import BatchSpec
 
-ALIGN = 16
+# reuse calibrate_bands' band-minimum measurement (single source of truth)
+_cb_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "calibrate_bands.py")
+_cb_spec = importlib.util.spec_from_file_location("calibrate_bands", _cb_path)
+_cb = importlib.util.module_from_spec(_cb_spec)
+_cb_spec.loader.exec_module(_cb)
+
+ALIGN = _cb.ALIGN
 spec = BatchSpec(pallas_conv=True)
 
 
@@ -29,20 +38,7 @@ def pack(c):
 
 
 def min_subwin(nbr, chunk):
-    v_out, k = nbr.shape
-    n = v_out // chunk
-    if n == 0:
-        return 0
-    big = np.iinfo(np.int32).max
-    blk = nbr[: n * chunk].reshape(n, chunk, k)
-    lo_k = np.where(blk >= 0, blk, big).min(axis=1)
-    hi_k = np.where(blk >= 0, blk, -1).max(axis=1)
-    wsk = np.where(lo_k == big, big, (lo_k // ALIGN) * ALIGN)
-    ok = (hi_k >= 0) & (wsk < big)
-    if not ok.any():
-        return 0
-    need = int((hi_k[ok] - wsk[ok] + 1).max())
-    return -(-need // ALIGN) * ALIGN
+    return _cb.min_subwin(nbr, chunk)[0]
 
 
 def permute_stage(stages, s, perm):

@@ -89,18 +89,27 @@ def train(cfg: Config):
             dc=dc,
         )
 
-    # multi-host data sharding: each host loads its 1-in-process_count slice
-    # of the global permutation (parallel.mesh.host_shard_indices)
-    host = dict(process_index=jax.process_index(), process_count=jax.process_count())
+    # multi-host data parallelism: each host loads its 1-in-process_count
+    # slice of the global permutation (parallel.mesh.host_shard_indices) as
+    # PER-HOST batches of batch_size/process_count samples; shard_batch
+    # assembles them into the global batch via
+    # jax.make_array_from_process_local_data, so the global batch is exactly
+    # the union of the hosts' disjoint slices.
+    pc = jax.process_count()
+    assert cfg.batch_size % pc == 0, (
+        f"batch_size {cfg.batch_size} must divide over {pc} hosts"
+    )
+    local_bs = cfg.batch_size // pc
+    host = dict(process_index=jax.process_index(), process_count=pc)
     loaders = {
         "train": PaddedLoader(
-            make_ds(scanrefer_train, "train"), spec, cfg.batch_size,
+            make_ds(scanrefer_train, "train"), spec, local_bs,
             shuffle=True, seed=cfg.manual_seed, num_workers=cfg.num_workers,
             voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
             **host,
         ),
         "val": PaddedLoader(
-            make_ds(scanrefer_val, "val"), spec, cfg.batch_size,
+            make_ds(scanrefer_val, "val"), spec, local_bs,
             shuffle=False, seed=cfg.manual_seed, num_workers=cfg.num_workers,
             drop_last=False,
             voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,

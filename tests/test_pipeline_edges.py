@@ -151,6 +151,44 @@ def test_per_sample_metadata_matches_batch_level(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_geometry_fingerprint_gates_precomputed_metadata(rng):
+    """Metadata packed under one band geometry must NOT be consumed by a
+    spec with a different geometry (wrong windows would silently drop
+    neighbors or DMA out of range) — the fingerprint mismatch falls back to
+    the batch-level computation under the consumer's geometry."""
+    from instancerefer_tpu.data.pipeline import batch_to_device_dict
+
+    spec_a = dataclasses.replace(
+        TEST_SPEC,
+        pallas_conv=True, pallas_chunk=64, pallas_window=256, pallas_subwin=256,
+        scene_caps=(1024, 512, 256, 256, 256),
+        inst_caps=(1024, 512, 256, 256, 256),
+    )
+    samples = [pad_sample(make_core_sample(rng, scan_idx=i), spec_a) for i in range(2)]
+    batch = collate(samples, spec_a)
+
+    # same geometry: fast path, windows from spec_a
+    dd_a = batch_to_device_dict(dict(batch), spec_a)
+    assert dd_a["scene_pyramid"][0].pallas_window == 256
+
+    # different geometry: fingerprint mismatch -> batch-level recompute under
+    # spec_b's geometry (NOT spec_a's stale arrays); chunk 32 gives the
+    # recomputed metadata a different SHAPE, proving the stale arrays were
+    # not consumed
+    spec_b = dataclasses.replace(
+        spec_a, pallas_chunk=32, pallas_window=128, pallas_subwin=128
+    )
+    dd_b = batch_to_device_dict(dict(batch), spec_b)
+    st_b = dd_b["scene_pyramid"][0]
+    assert st_b.pallas_window == 128 and st_b.pallas_chunk == 32
+    assert st_b.ws3.shape == (2 * 1024 // 32,)
+    assert st_b.wsk3.shape == (27, 2 * 1024 // 32)
+
+    # pallas off: fingerprint also mismatches -> XLA path
+    dd_off = batch_to_device_dict(dict(batch), dataclasses.replace(spec_a, pallas_conv=False))
+    assert dd_off["scene_pyramid"][0].ws3 is None
+
+
 def test_solver_band_drop_warning(tmp_path):
     """The epoch report warns loudly when any banded conv dropped neighbors."""
     from instancerefer_tpu.train.solver import Solver
