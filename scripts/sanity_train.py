@@ -27,26 +27,34 @@ def main(steps: int = 60, batch_size: int = 16):
     from instancerefer_tpu.ops.precision import set_compute_dtype
     from instancerefer_tpu.train.solver import Solver
 
+    from instancerefer_tpu.data.pipeline import pop_band_diagnostics
+
     set_compute_dtype("bfloat16")
+    # banded Pallas path on a real TPU backend (the production train path);
+    # XLA gather path elsewhere
+    use_pallas = jax.default_backend() not in ("cpu", "gpu")
     spec = BatchSpec(
         max_tokens=24, max_instances=16, max_candidates=4,
         scene_caps=(4096, 2048, 1024, 512, 256),
         inst_caps=(4096, 2048, 1024, 512, 256),
+        pallas_conv=use_pallas,
+        data_shards=len(jax.devices()) if use_pallas else 1,
     )
     mean_size = np.linspace(0.3, 2.0, 18)[:, None] * np.array([[1.0, 0.9, 0.8]])
 
-    print("building synthetic batches (largest-instance rule)...")
+    print(f"building synthetic batches (largest-instance rule, pallas={use_pallas})...")
     n_batches = 4
-    batches = [
-        batch_to_device_dict(
+    batches = []
+    for s in range(n_batches):
+        dd = batch_to_device_dict(
             make_batch(
                 batch_size, spec, seed=s, num_points=8000, num_instances=8,
                 num_candidates=3, mean_size_arr=mean_size, target_rule="largest",
             ),
             spec,
         )
-        for s in range(n_batches)
-    ]
+        pop_band_diagnostics(dd)
+        batches.append(dd)
 
     model = InstanceRefer(
         input_feature_dim=spec.feat_dim, num_classes=spec.num_classes,
