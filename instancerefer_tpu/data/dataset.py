@@ -176,6 +176,21 @@ class ScannetReferenceDataset:
             )
         return np.array(self._multiview[scene_id])
 
+    def get_lang(self, idx: int):
+        """Language-only assembly (lang_feat [T,300], lang_len) — the cheap
+        slice of ``get_core`` used by the use_gt_lang=False prediction pass
+        (no scene IO, no voxelization)."""
+        entry = self.scanrefer[idx]
+        tokens = entry["token"]
+        max_len = 126
+        emb = np.zeros((max_len, 300), np.float32)
+        for t, token in enumerate(tokens[:max_len]):
+            if token.isspace():
+                continue
+            emb[t] = self.glove.get(token, self.glove["unk"])
+        lang_len = min(len([t for t in tokens if not t.isspace()]), max_len)
+        return emb, lang_len
+
     def get_core(
         self,
         idx: int,
@@ -448,3 +463,76 @@ class PaddedLoader:
                     return
         if batch and done < nb and not self.drop_last:
             yield self._finalize(batch)
+
+
+class PredictedClassLoader:
+    """use_gt_lang=False at TRAIN time: candidates filtered by the language
+    classifier's prediction instead of the GT class
+    (reference ``models/attribute_module.py:93-97`` — when ``use_gt_lang``
+    is off, ``lang_cls_pred = argmax(lang_scores)`` drives
+    ``filter_candidates`` during training too).
+
+    Candidate filtering lives in the input pipeline here, so each epoch runs
+    a cheap language-only prediction pass (``dataset.get_lang`` — no scene
+    IO or voxelization) with the CURRENT model parameters, then iterates a
+    fresh ``PaddedLoader`` with those per-sample ``class_overrides``.
+
+    Deliberate approximation vs the reference: the reference re-predicts at
+    every forward, so candidates can change within an epoch as the language
+    weights move; here they refresh once per epoch (documented; the default
+    config trains with ``use_gt_lang: True``, where this class is unused).
+    """
+
+    def __init__(
+        self,
+        dataset: ScannetReferenceDataset,
+        spec: BatchSpec,
+        batch_size: int,
+        predict_fn,
+        *,
+        predict_batch: int = 64,
+        **loader_kwargs,
+    ):
+        self.dataset = dataset
+        self.spec = spec
+        self.batch_size = batch_size
+        # predict_fn(lang_feat [B,126,300], lang_len [B]) -> [B] class ids,
+        # evaluated with the CURRENT params at each epoch start
+        self.predict_fn = predict_fn
+        self.predict_batch = predict_batch
+        self.loader_kwargs = dict(loader_kwargs)
+        self.epoch = 0
+
+    def __len__(self):
+        return len(
+            PaddedLoader(
+                self.dataset, self.spec, self.batch_size, **self.loader_kwargs
+            )
+        )
+
+    def _predict_overrides(self):
+        n = len(self.dataset)
+        overrides = {}
+        for lo in range(0, n, self.predict_batch):
+            idxs = list(range(lo, min(lo + self.predict_batch, n)))
+            pairs = [self.dataset.get_lang(i) for i in idxs]
+            # pad the tail chunk to the static predict_batch so a jitted
+            # predict_fn keeps one compiled shape
+            while len(pairs) < self.predict_batch:
+                pairs.append(pairs[-1])
+            feats = np.stack([p[0] for p in pairs])
+            lens = np.asarray([p[1] for p in pairs], np.int32)
+            pred = np.asarray(self.predict_fn(feats, lens))
+            for i, p in zip(idxs, pred):
+                overrides[int(i)] = int(p)
+        return overrides
+
+    def __iter__(self):
+        inner = PaddedLoader(
+            self.dataset, self.spec, self.batch_size,
+            class_overrides=self._predict_overrides(),
+            **self.loader_kwargs,
+        )
+        inner.epoch = self.epoch
+        self.epoch += 1
+        yield from inner

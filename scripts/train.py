@@ -167,6 +167,48 @@ def train(cfg: Config):
             print(f"warm-starting submodules from {path}...")
             solver.load_pretrained_modules(os.path.join(path, "model_last"))
 
+    if not cfg.use_gt_lang:
+        # Train-time predicted-class candidate filtering (reference
+        # models/attribute_module.py:93-97 with use_gt_lang False): wrap the
+        # loaders so each epoch re-predicts every sample's class with the
+        # CURRENT language weights (cheap language-only pass) and filters
+        # candidates by it.  See PredictedClassLoader for the per-epoch
+        # refresh approximation note.
+        from instancerefer_tpu.data.dataset import PredictedClassLoader
+        from instancerefer_tpu.models.lang_module import LangModule
+
+        lang = LangModule(num_text_classes=cfg.num_classes, use_bidir=cfg.use_bidir)
+
+        @jax.jit
+        def _lang_step(params, lang_feat, lang_len):
+            out = lang.apply(
+                {"params": params},
+                {"lang_feat": lang_feat, "lang_len": lang_len},
+                train=False,
+            )
+            return jax.numpy.argmax(out["lang_scores"], axis=1)
+
+        def predict_fn(lang_feat, lang_len):
+            return jax.device_get(
+                _lang_step(solver.state["params"]["lang"], lang_feat, lang_len)
+            )
+
+        for phase, shuffle, extra in (
+            ("train", True, {}),
+            ("val", False, {"drop_last": False}),
+        ):
+            loaders[phase] = PredictedClassLoader(
+                make_ds(
+                    scanrefer_train if phase == "train" else scanrefer_val, phase
+                ),
+                spec, local_bs, predict_fn,
+                shuffle=shuffle, seed=cfg.manual_seed,
+                num_workers=cfg.num_workers,
+                voxel_size_ap=cfg.voxel_size_ap,
+                voxel_size_glp=cfg.voxel_size_glp,
+                **extra, **host,
+            )
+
     # info.json (scripts/train.py:143-155)
     info = {k: v for k, v in vars(cfg).items() if isinstance(v, (str, int, float, bool, list))}
     info["num_train"] = len(scanrefer_train)

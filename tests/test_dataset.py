@@ -234,6 +234,45 @@ def test_multihost_loader_partitions_epoch(fake_data_root):
             np.testing.assert_array_equal(scene, single[idx][1])
 
 
+def test_predicted_class_loader_refreshes_candidates(fake_data_root):
+    """use_gt_lang=False at train time (PredictedClassLoader): candidates
+    follow the per-epoch predictions of the injected classifier, refreshed
+    with whatever the predictor returns at each epoch start."""
+    from instancerefer_tpu.data.dataset import PredictedClassLoader
+
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    calls = []
+    # epoch 0 predicts 'table' (class 4) for everything; epoch 1 'chair' (2)
+    pred_by_epoch = {0: 4, 1: 2}
+
+    def predict_fn(lang_feat, lang_len):
+        assert lang_feat.shape[1:] == (126, 300)
+        calls.append(lang_feat.shape[0])
+        epoch = len([c for c in calls]) - 1
+        return np.full(lang_feat.shape[0], pred_by_epoch[min(epoch, 1)], np.int64)
+
+    loader = PredictedClassLoader(
+        ds, SPEC, 2, predict_fn, predict_batch=8,
+        shuffle=False, num_workers=0, drop_last=False,
+    )
+    assert len(loader) == 2
+
+    epoch0 = list(loader)
+    # all 3 queries filtered to the 'table' class -> exactly 1 candidate each
+    cand0 = np.concatenate([b["cand_mask"].sum(1)[b["sample_valid"]] for b in epoch0])
+    assert (cand0 == 1).all()
+    for b in epoch0:
+        slots = b["cand_slot"][b["cand_mask"]]
+        classes = b["instance_class"][np.arange(len(b["cand_mask"]))[:, None], b["cand_slot"]]
+        assert (classes[b["cand_mask"]] == 4).all()
+
+    epoch1 = list(loader)
+    # refreshed prediction: 'chair' (2 instances per scene) -> 2 candidates
+    cand1 = np.concatenate([b["cand_mask"].sum(1)[b["sample_valid"]] for b in epoch1])
+    assert (cand1 == 2).all()
+
+
 def test_get_scanrefer_roundtrip(fake_data_root):
     root, scanrefer = fake_data_root
     loaded = get_scanrefer(root, "val")
