@@ -275,6 +275,85 @@ def map_state_dict(
     return params, stats
 
 
+def export_state_dict(params: Dict, batch_stats: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`map_state_dict`: flax ``(params, batch_stats)`` ->
+    a reference-named torch-layout ``state_dict`` (numpy leaves), so a model
+    trained here can be taken back to the reference stack
+    (``model.load_state_dict`` after ``torch.from_numpy`` per leaf).
+
+    Walks the same name tables as the import direction (so the two cannot
+    drift apart) and inverts each layout transform.  Disabled modules are
+    simply absent from ``params`` and are skipped.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def get(tree, path):
+        node = tree
+        for p in path.split("/"):
+            node = node[p]
+        return np.asarray(node)
+
+    def emit(kind, ref, module, flax_name):
+        base = f"{module}/{flax_name}"
+        if kind == "linear":
+            sd[f"{ref}.weight"] = np.ascontiguousarray(get(params, f"{base}/kernel").T)
+            sd[f"{ref}.bias"] = get(params, f"{base}/bias")
+        elif kind == "norm":
+            sd[f"{ref}.weight"] = get(params, f"{base}/scale")
+            sd[f"{ref}.bias"] = get(params, f"{base}/bias")
+        elif kind == "batchnorm":
+            sd[f"{ref}.weight"] = get(params, f"{base}/scale")
+            sd[f"{ref}.bias"] = get(params, f"{base}/bias")
+            sd[f"{ref}.running_mean"] = get(batch_stats, f"{base}/mean")
+            sd[f"{ref}.running_var"] = get(batch_stats, f"{base}/var")
+            sd[f"{ref}.num_batches_tracked"] = np.asarray(0, np.int64)
+        elif kind == "conv2d":
+            k = get(params, f"{base}/kernel")  # [kh, kw, in, out]
+            sd[f"{ref}.weight"] = np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
+            sd[f"{ref}.bias"] = get(params, f"{base}/bias")
+        elif kind == "bev_kernel":
+            sd[f"{ref}.kernel"] = get(params, f"{base}/kernel")
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+
+    for module, table in _HEAD_SITES.items():
+        if module not in params:
+            continue
+        for site, (kind, flax_name) in table.items():
+            emit(kind, f"{module}." + ".".join(site), module, flax_name)
+
+    for module in ("attribute", "scene"):
+        if module not in params or "net" not in params[module]:
+            continue
+        for site, (block, leaf) in _ENCODER_SITES.items():
+            ref = f"{module}.net." + ".".join(site)
+            base = f"{module}/net/{block}/{leaf}"
+            if leaf.startswith("conv"):
+                kernel = get(params, f"{base}/kernel")
+                perm = _PERM3 if kernel.shape[0] == 27 else _PERM2
+                sd[f"{ref}.kernel"] = kernel[np.argsort(perm)]
+            else:
+                emit("batchnorm", ref, module, f"net/{block}/{leaf}")
+
+    if "lang" in params and "gru" in params["lang"]:
+        for layer in (0, 1):
+            for direction, sfx in (("fwd", ""), ("bwd", "_reverse")):
+                key = f"l{layer}_{direction}"
+                if key not in params["lang"]["gru"]:
+                    continue
+                g = params["lang"]["gru"][key]
+                sd[f"lang.gru.weight_ih_l{layer}{sfx}"] = np.ascontiguousarray(
+                    np.asarray(g["wx"]).T
+                )
+                sd[f"lang.gru.weight_hh_l{layer}{sfx}"] = np.ascontiguousarray(
+                    np.asarray(g["wh"]).T
+                )
+                sd[f"lang.gru.bias_ih_l{layer}{sfx}"] = np.asarray(g["bx"])
+                sd[f"lang.gru.bias_hh_l{layer}{sfx}"] = np.asarray(g["bh"])
+
+    return sd
+
+
 def _emit_batchnorm(params, stats, base, site, vals):
     _set(params, f"{base}/scale", vals.pop("weight"))
     _set(params, f"{base}/bias", vals.pop("bias"))

@@ -27,9 +27,17 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("source", help="model_last.pth / model.pth / checkpoint.tar")
-    ap.add_argument("dest", help="output orbax checkpoint directory")
+    ap.add_argument("source", help="model_last.pth / model.pth / checkpoint.tar"
+                    " (or an orbax checkpoint dir with --to-torch)")
+    ap.add_argument("dest", help="output orbax checkpoint directory"
+                    " (or output .pth with --to-torch)")
     ap.add_argument("--skip-structure-check", action="store_true")
+    ap.add_argument(
+        "--to-torch", action="store_true",
+        help="reverse direction: orbax {params, batch_stats} -> reference-"
+             "named state_dict .pth (loadable by the reference's "
+             "model.load_state_dict)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -37,8 +45,23 @@ def main():
 
     from instancerefer_tpu.utils.convert_torch import (
         assert_same_structure,
+        export_state_dict,
         map_state_dict,
     )
+
+    if args.to_torch:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(os.path.abspath(args.source))
+        sd = export_state_dict(payload["params"], payload["batch_stats"])
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) if np.ndim(v)
+             else torch.tensor(v) for k, v in sd.items()},
+            args.dest,
+        )
+        print(f"saved {args.dest} ({len(sd)} tensors, reference state_dict names)")
+        return
 
     blob = torch.load(args.source, map_location="cpu")
     epoch = None

@@ -209,6 +209,26 @@ def test_offset_enumeration_matches_torchsparse12():
     assert (torchsparse_offsets(2)[1] == [1, 0, 0]).all()
 
 
+def test_export_matches_independent_inverse(variables):
+    """The library exporter (utils/convert_torch.export_state_dict) must
+    agree key-for-key and value-for-value with this file's independently
+    written inverse, and round-trip through map_state_dict exactly."""
+    from instancerefer_tpu.utils.convert_torch import export_state_dict
+
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = _rand_stats(variables["batch_stats"])
+
+    lib = export_state_dict(params, stats)
+    ours = _export_state_dict(params, stats)
+    assert set(lib) == set(ours)
+    for k in ours:
+        np.testing.assert_array_equal(lib[k], ours[k], err_msg=k)
+
+    back_params, back_stats = map_state_dict(lib)
+    _assert_tree_equal(back_params, params)
+    _assert_tree_equal(back_stats, stats)
+
+
 def test_unknown_and_unconsumed_keys_fail(variables):
     sd = _export_state_dict(
         jax.tree.map(np.asarray, variables["params"]), variables["batch_stats"]
