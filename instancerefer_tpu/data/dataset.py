@@ -179,9 +179,11 @@ class ScannetReferenceDataset:
     def get_lang(self, idx: int):
         """Language-only assembly (lang_feat [T,300], lang_len) — the cheap
         slice of ``get_core`` used by the use_gt_lang=False prediction pass
-        (no scene IO, no voxelization)."""
-        entry = self.scanrefer[idx]
-        tokens = entry["token"]
+        (no scene IO, no voxelization).  The single source of the embedding
+        quirks (whitespace-token skip, unk fallback, 126-token cap,
+        lib/dataset.py:72-92): ``get_core`` calls this same method, so the
+        prediction pass always sees bit-identical language features."""
+        tokens = self.scanrefer[idx]["token"]
         max_len = 126
         emb = np.zeros((max_len, 300), np.float32)
         for t, token in enumerate(tokens[:max_len]):
@@ -208,15 +210,9 @@ class ScannetReferenceDataset:
         ann_id = int(entry["ann_id"])
         object_cat = self._object_cat(object_name)
 
-        # ---- language (lib/dataset.py:72-92)
-        tokens = entry["token"]
-        max_len = 126
-        emb = np.zeros((max_len, 300), np.float32)
-        for t, token in enumerate(tokens[:max_len]):
-            if token.isspace():
-                continue
-            emb[t] = self.glove.get(token, self.glove["unk"])
-        lang_len = min(len([t for t in tokens if not t.isspace()]), max_len)
+        # ---- language (lib/dataset.py:72-92) — shared with the
+        # use_gt_lang=False prediction pass
+        emb, lang_len = self.get_lang(idx)
 
         # ---- point cloud features (:94-123)
         mesh_vertices, instance_labels, semantic_labels, instance_bboxes = \

@@ -61,6 +61,72 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def globalize_batch_indices(
+    dd: Dict[str, Any], *, process_index=None, process_count=None
+) -> Dict[str, Any]:
+    """Rebase host-LOCAL intra-batch indices to GLOBAL ids before multi-host
+    assembly.
+
+    Each host collates its own sample slice, so every index-carrying array in
+    its device dict — voxel owners, ``nbr3``/``down``/``up8``/``up_row`` row
+    maps, and the banded-conv window starts — points into the HOST-LOCAL flat
+    layout.  ``jax.make_array_from_process_local_data`` then places host ``p``'s
+    rows at global rows ``[p * local_rows, (p+1) * local_rows)``, and every
+    consumer (``feats[nbr]`` gathers, segment pooling with
+    ``num_segments = B_global * ...``, the shard_map wrappers' per-shard
+    localization ``off = axis_index * in_rows`` in ops/pallas_conv) treats the
+    values as GLOBAL.  This helper adds exactly the host's global offset to
+    each index family, preserving ``-1`` sentinels — the per-host analogue of
+    what ``data/pipeline.collate`` does per sample with ``bi * cap``.
+
+    No-op on single-process runs and for host 0 (all offsets are zero).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1 or pi == 0 or not isinstance(dd, dict) or "scene_pyramid" not in dd:
+        return dd
+
+    def off(a, k, preserve_neg=True):
+        if a is None or a.size == 0 or k == 0:
+            return a
+        a = np.asarray(a)
+        k = a.dtype.type(k)
+        return np.where(a >= 0, a + k, a) if preserve_neg else a + k
+
+    cand_mask = np.asarray(dd["cand_mask"])
+    local_b, cmax = int(cand_mask.shape[0]), int(cand_mask.shape[1])
+    out = dict(dd)
+    for key, seg in (("scene_pyramid", local_b), ("inst_pyramid", local_b * cmax)):
+        stages = dd.get(key)
+        if stages is None:
+            continue
+        new_stages = []
+        prev_v = 0
+        for st in stages:
+            v = st.nbr3.shape[0]
+            new_stages.append(
+                st.replace(
+                    owner=off(st.owner, pi * seg),
+                    nbr3=off(st.nbr3, pi * v),
+                    down=off(st.down, pi * prev_v),
+                    # subm bands index THIS stage's input rows
+                    ws3=off(st.ws3, pi * v),
+                    wsk3=off(st.wsk3, pi * v, preserve_neg=False),
+                    # inverse (up) maps index THIS stage's rows too
+                    up_row=off(st.up_row, pi * v),
+                    up8=off(st.up8, pi * v),
+                    wsu=off(st.wsu, pi * v),
+                    wsktu=off(st.wsktu, pi * v, preserve_neg=False),
+                    # down bands index the PREVIOUS stage's rows
+                    wsd=off(st.wsd, pi * prev_v),
+                    wskd=off(st.wskd, pi * prev_v, preserve_neg=False),
+                )
+            )
+            prev_v = v
+        out[key] = tuple(new_stages)
+    return out
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
     """Place a (numpy or jnp) batch pytree onto the mesh, sharded on dim 0.
 
@@ -72,9 +138,10 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
     slices, ``host_shard_indices``); the host's arrays are its addressable
     portion of the global batch, assembled with
     ``jax.make_array_from_process_local_data`` — the global batch dimension
-    is ``local * process_count``.  (Requires the mesh's device order to
-    place each process's devices on a contiguous range of the data axis,
-    which ``make_mesh()`` over ``jax.devices()`` gives.)
+    is ``local * process_count``.  Intra-batch indices are first rebased from
+    host-local to global (``globalize_batch_indices``).  (Requires the mesh's
+    device order to place each process's devices on a contiguous range of the
+    data axis, which ``make_mesh()`` over ``jax.devices()`` gives.)
 
     Without a mesh the batch is still device_put (asynchronously) so that
     prefetching overlaps host->device transfer with compute.
@@ -84,6 +151,8 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
     sh = batch_sharding(mesh)
     sh_t = NamedSharding(mesh, P(None, "data"))
     pc = jax.process_count()
+    if pc > 1:
+        batch = globalize_batch_indices(batch)
 
     def place(path, x):
         transposed = any(

@@ -227,13 +227,20 @@ class Solver:
             return params, new_stats, opt_state, _metrics(out)
 
         def _metrics(out):
-            # scalar metrics are masked means over valid (non-padding) rows;
-            # per-sample ref_iou ships with its validity mask so the host can
-            # filter the global Acc@IoU pool (reference lib/solver.py:295-297)
+            # scalar metrics are masked means over valid (non-padding) rows.
+            # The Acc@IoU pool (reference lib/solver.py:295-297) accumulates
+            # as GLOBAL hit/valid counters reduced inside the jitted step:
+            # under multi-host DP the per-sample rows are globally sharded
+            # (each host only addresses its own), but a jnp.sum over the
+            # sharded batch axis is a replicated global scalar — so every
+            # host computes identical iou rates and picks the same best epoch.
             metrics = {k: out[k] for k in METRIC_KEYS}
             metrics["ref_acc"] = out["ref_acc_mean"]
-            metrics["ref_iou"] = out["ref_iou"]
-            metrics["sample_valid"] = out["sample_valid"]
+            valid = out["sample_valid"]
+            iou = out["ref_iou"]
+            metrics["iou25_hits"] = jnp.sum((iou >= 0.25) & valid)
+            metrics["iou5_hits"] = jnp.sum((iou >= 0.5) & valid)
+            metrics["iou_count"] = jnp.sum(valid)
             return metrics
 
         @jax.jit
@@ -380,13 +387,13 @@ class Solver:
 
             for k in METRIC_KEYS:
                 self.log[phase][k].append(float(np.mean(metrics[k])))
-            valid_rows = np.asarray(metrics["sample_valid"]).ravel().astype(bool)
-            self.log[phase]["ref_iou"] += list(
-                np.asarray(metrics["ref_iou"]).ravel()[valid_rows]
-            )
-            ious = np.asarray(self.log[phase]["ref_iou"])
-            self.log[phase]["iou_rate_0.25"] = float((ious >= 0.25).mean())
-            self.log[phase]["iou_rate_0.5"] = float((ious >= 0.5).mean())
+            # global Acc@IoU pool via replicated counters (identical on every
+            # host of a multi-host run — see _metrics)
+            for k in ("iou25_hits", "iou5_hits", "iou_count"):
+                self.log[phase][k] += float(metrics[k])
+            denom = max(self.log[phase]["iou_count"], 1.0)
+            self.log[phase]["iou_rate_0.25"] = self.log[phase]["iou25_hits"] / denom
+            self.log[phase]["iou_rate_0.5"] = self.log[phase]["iou5_hits"] / denom
 
             if phase == "train":
                 iter_time = self.log[phase]["fetch"][-1] + step_time
@@ -543,7 +550,8 @@ class Solver:
             phase: {
                 "forward": [], "backward": [], "eval": [], "fetch": [], "iter_time": [],
                 "loss": [], "ref_loss": [], "lang_loss": [], "seg_loss": [],
-                "lang_acc": [], "ref_acc": [], "seg_acc": [], "ref_iou": [],
+                "lang_acc": [], "ref_acc": [], "seg_acc": [],
+                "iou25_hits": 0.0, "iou5_hits": 0.0, "iou_count": 0.0,
                 "iou_rate_0.25": 0.0, "iou_rate_0.5": 0.0,
             }
             for phase in ["train", "val"]

@@ -261,3 +261,107 @@ def test_dp_banded_model_grads_match_xla():
     flat_x, flat_d = jax.tree_util.tree_leaves(g_xla), jax.tree_util.tree_leaves(g_dp)
     for a, b in zip(flat_x, flat_d):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
+
+
+def test_multihost_globalize_indices_assembles_global_batch():
+    """Two fake hosts' device dicts, index-globalized and concatenated in
+    process order, must equal the single-host device dict of the global batch.
+
+    This pins the multi-host contract end-to-end at the data layer: each host
+    collates its own ``host_shard_indices`` slice with HOST-LOCAL offsets, and
+    ``parallel.mesh.globalize_batch_indices`` (called by ``shard_batch`` when
+    ``process_count > 1``) rebases every index family — voxel owners,
+    nbr3/down/up8/up_row maps, banded window starts — to the global layout
+    that ``jax.make_array_from_process_local_data`` produces.  Without the
+    rebase, host p>0's gathers/scatters/poolings would silently read and
+    write host 0's rows."""
+    from instancerefer_tpu.data.pipeline import (
+        BatchSpec,
+        batch_to_device_dict,
+        finalize_batch,
+        pad_sample,
+        pop_band_diagnostics,
+    )
+    from instancerefer_tpu.data.synthetic import make_core_sample
+    from instancerefer_tpu.parallel.mesh import (
+        globalize_batch_indices,
+        host_shard_indices,
+    )
+
+    spec = BatchSpec(
+        max_tokens=12,
+        max_instances=8,
+        max_candidates=4,
+        scene_caps=(128, 64, 32, 16, 16),
+        inst_caps=(128, 64, 32, 16, 16),
+        pallas_conv=True,
+        pallas_interpret=True,
+        pallas_chunk=32,
+        pallas_window=128,
+        pallas_subwin=128,
+        pallas_subwin_inst=128,
+        pallas_down_chunk=32,
+        pallas_down_window=(0, 128, 0, 0, 0),
+        pallas_down_subwin=(0, 128, 0, 0, 0),
+        pallas_down_window_inst=(0, 128, 0, 0, 0),
+        pallas_down_subwin_inst=(0, 128, 0, 0, 0),
+        pallas_up_window=64,
+        pallas_up_subwin=64,
+    )
+    rng = np.random.default_rng(11)
+    padded = [
+        pad_sample(
+            make_core_sample(rng, num_points=600, num_instances=5, scan_idx=i), spec
+        )
+        for i in range(4)
+    ]
+
+    # per-host sample slices exactly as scripts/train.py wires them
+    pc = 2
+    host_dds = []
+    host_order = []
+    for pi in range(pc):
+        mine = host_shard_indices(4, process_index=pi, process_count=pc)
+        host_order += list(mine)
+        dd = batch_to_device_dict(
+            finalize_batch([padded[i] for i in mine], len(mine), spec), spec
+        )
+        pop_band_diagnostics(dd)
+        host_dds.append(
+            globalize_batch_indices(dd, process_index=pi, process_count=pc)
+        )
+
+    g = batch_to_device_dict(
+        finalize_batch([padded[i] for i in host_order], 4, spec), spec
+    )
+    pop_band_diagnostics(g)
+
+    # the banded metadata must actually be present, or the test proves nothing
+    assert g["scene_pyramid"][0].ws3 is not None
+    assert g["scene_pyramid"][1].wsd is not None
+    assert g["scene_pyramid"][1].wsu is not None
+
+    transposed = ("wsk3", "wskd", "wsktu")
+    arrays = (
+        "coords", "owner", "mask", "nbr3", "down", "ws3", "wsk3",
+        "up_row", "up_k", "wsd", "wskd", "up8", "wsu", "wsktu",
+    )
+    for key in g:
+        if key in ("scene_pyramid", "inst_pyramid"):
+            for s, gst in enumerate(g[key]):
+                for f in arrays:
+                    gv = getattr(gst, f)
+                    hvs = [getattr(dd[key][s], f) for dd in host_dds]
+                    if gv is None:
+                        assert all(h is None for h in hvs), (key, s, f)
+                        continue
+                    got = np.concatenate(
+                        [np.asarray(h) for h in hvs],
+                        axis=1 if f in transposed else 0,
+                    )
+                    np.testing.assert_array_equal(
+                        got, np.asarray(gv), err_msg=f"{key}[{s}].{f}"
+                    )
+        else:
+            got = np.concatenate([np.asarray(dd[key]) for dd in host_dds], axis=0)
+            np.testing.assert_array_equal(got, np.asarray(g[key]), err_msg=key)

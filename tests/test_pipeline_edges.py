@@ -273,6 +273,65 @@ def test_checkpoint_resume_fidelity(tmp_path):
     assert c.state["epoch"] == 3  # untouched by the old-format restore
 
 
+def test_solver_epoch_iou_counters(tmp_path):
+    """One full Solver epoch (train + val) on a tiny synthetic loader.
+
+    Pins the replicated-counter Acc@IoU pool (multi-host-safe metric path):
+    the val ``iou_rate_0.25/0.5`` the solver logs must equal a hand-pooled
+    computation of per-sample IoUs from the same model state on the same
+    batch — i.e. the counters are a pure refactor of the reference's global
+    IoU pool (lib/solver.py:295-297), not a new metric.  Also smoke-checks
+    the epoch artifacts (model_last checkpoint, scalars.jsonl, log.txt)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.data.synthetic import TEST_SPEC, make_device_batch
+    from instancerefer_tpu.models.instancerefer import InstanceRefer
+    from instancerefer_tpu.train.evaluate import get_eval
+    from instancerefer_tpu.train.losses import get_loss
+    from instancerefer_tpu.train.solver import Solver
+
+    spec = TEST_SPEC
+    train_batch = make_device_batch(2, spec, seed=0)
+    val_batch = make_device_batch(2, spec, seed=1)
+    model = InstanceRefer(
+        input_feature_dim=spec.feat_dim,
+        num_classes=spec.num_classes,
+        max_candidates=spec.max_candidates,
+    )
+    mean_size = np.linspace(0.3, 2.0, 18)[:, None] * np.array([[1.0, 0.9, 0.8]])
+    solver = Solver(
+        model, mean_size,
+        output_dir=str(tmp_path), stamp="t", steps_per_epoch=1,
+        use_mesh=False, val_step=1, seed=5,
+    )
+    solver.init_params(dict(train_batch))
+    solver({"train": [dict(train_batch)], "val": [dict(val_batch)]}, epoch=1, verbose=100)
+
+    # independent pool from the final state on the val batch
+    out = jax.jit(
+        lambda p, bs, dd: get_eval(get_loss(
+            model.apply({"params": p, "batch_stats": bs}, dd, train=False),
+            jnp.asarray(mean_size),
+        ))
+    )(solver.state["params"], solver.state["batch_stats"], dict(val_batch))
+    iou = np.asarray(out["ref_iou"])
+    valid = np.asarray(out["sample_valid"]).astype(bool)
+    pooled = iou[valid]
+    assert solver.log["val"]["iou_count"] == valid.sum()
+    np.testing.assert_allclose(
+        solver.log["val"]["iou_rate_0.25"], (pooled >= 0.25).mean(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        solver.log["val"]["iou_rate_0.5"], (pooled >= 0.5).mean(), atol=1e-6
+    )
+    assert os.path.isdir(os.path.join(solver.root, "model_last"))
+    assert os.path.exists(solver.scalars_path)
+    assert "epoch 1 starting" in open(solver.log_path).read()
+
+
 def test_calibrate_bands_helpers(rng):
     """scripts/calibrate_bands: minima/rounding logic on a known map."""
     import importlib.util
