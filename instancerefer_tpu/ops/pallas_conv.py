@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _conv_kernel(
     ws_ref, wskt_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
-    *, chunk, window, subwin, k_offsets, out_dtype,
+    *, chunk, window, subwin, k_offsets, out_dtype, center_k=None,
 ):
     # ws_ref: scalar-prefetched [n_chunks] (drives the window DMA; -1 marks a
     # fully-empty padding chunk — skipped entirely, zero output);
@@ -91,6 +91,29 @@ def _conv_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
         dtype = win.dtype
         for k in range(k_offsets):
+            if k == center_k:
+                # Identity offset of the symmetric subm map: nbr[v, k] is v
+                # itself (or -1), so the gathered rows are the chunk's own
+                # rows — a direct VMEM slice of the window replaces the
+                # [chunk, subwin] one-hot matmul.  The band-validity mask
+                # reproduces the one-hot's drop semantics exactly; `ok`
+                # zeroes the (counted-as-dropped) case where the window
+                # cannot hold the chunk's diagonal at all.
+                base = wskt_ref[k, i]
+                diag = i * chunk - ws
+                ok = (diag >= 0) & (diag <= window - chunk)
+                off2 = pl.multiple_of(
+                    jnp.clip(diag, 0, window - chunk), 16
+                )
+                rows_c = win[slot, pl.ds(off2, chunk), :]
+                g_idx = nbr_ref[:, k]
+                local = g_idx - base
+                valid = ok & (g_idx >= 0) & (local >= 0) & (local < subwin)
+                rows_c = jnp.where(valid[:, None], rows_c, 0)
+                acc = acc + jnp.dot(
+                    rows_c, w_ref[k], preferred_element_type=jnp.float32
+                )
+                continue
             # Per-offset sub-window: each offset's neighbor indices over a
             # raster-sorted chunk are nearly monotone, so they fit a band of
             # ~chunk + halo rows.  The host clamps wsk into
@@ -117,7 +140,9 @@ def _conv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "chunk", "subwin", "out_dtype", "interpret"),
+    static_argnames=(
+        "window", "chunk", "subwin", "out_dtype", "interpret", "center_k"
+    ),
 )
 def windowed_gather_conv(
     feats: jnp.ndarray,
@@ -131,6 +156,7 @@ def windowed_gather_conv(
     subwin: int = None,
     out_dtype=jnp.float32,
     interpret: bool = False,
+    center_k: int = None,
 ) -> jnp.ndarray:
     """sum_k gather(feats, nbr[:, k]) @ kernel[k], windowed.
 
@@ -145,6 +171,9 @@ def windowed_gather_conv(
         16-aligned.  Defaults to broadcasting window_start, subwin = window.
       window: static window length (rows) — the per-chunk DMA size.
       subwin: static per-offset one-hot width (the banded-gather optimization).
+      center_k: offset index whose map is the identity (nbr[v, k] in {v, -1}
+        — the 3^3 submanifold center).  Its gather becomes a direct window
+        slice instead of a one-hot matmul; None disables (down/up maps).
     """
     v_out, k = nbr.shape
     assert v_out % chunk == 0, (v_out, chunk)
@@ -184,7 +213,7 @@ def windowed_gather_conv(
     fn = pl.pallas_call(
         functools.partial(
             _conv_kernel, chunk=chunk, window=window, subwin=subwin,
-            k_offsets=k, out_dtype=out_dtype,
+            k_offsets=k, out_dtype=out_dtype, center_k=center_k,
         ),
         out_shape=jax.ShapeDtypeStruct((v_out, cout_pad), out_dtype),
         grid_spec=grid_spec,
@@ -201,7 +230,7 @@ def windowed_gather_conv(
 
 def _bwd_fused_kernel(
     ws_ref, wskt_ref, nbr_ref, x_ref, wt_ref, g_hbm, dx_ref, dw_ref, win, sem,
-    *, chunk, window, subwin, k_offsets,
+    *, chunk, window, subwin, k_offsets, center_k=None,
 ):
     """One pass over the mirrored gather produces BOTH dX and dW.
 
@@ -252,16 +281,29 @@ def _bwd_fused_kernel(
         acc = jnp.zeros((chunk, cin), jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (chunk, subwin), 1)
         for k in range(k_offsets):
-            base = wskt_ref[k, i]
-            off = pl.multiple_of(base - ws, 16)
-            sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cout]
             g_idx = nbr_ref[:, k]
+            base = wskt_ref[k, i]
             local = g_idx - base
-            valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
-            safe = jnp.where(valid, local, -1)
-            oh = (col == safe[:, None]).astype(dtype)
-            rows_g = jnp.dot(oh, sub, preferred_element_type=jnp.float32)
-            rg = rows_g.astype(dtype)
+            if k == center_k:
+                # Identity offset (see _conv_kernel): the mirrored center is
+                # itself (K-1-13 == 13), so the gathered g rows are the
+                # chunk's own rows — direct window slice, no one-hot matmul.
+                diag = i * chunk - ws
+                ok = (diag >= 0) & (diag <= window - chunk)
+                off2 = pl.multiple_of(
+                    jnp.clip(diag, 0, window - chunk), 16
+                )
+                rows_c = win[slot, pl.ds(off2, chunk), :]
+                valid = ok & (g_idx >= 0) & (local >= 0) & (local < subwin)
+                rg = jnp.where(valid[:, None], rows_c, 0)
+            else:
+                off = pl.multiple_of(base - ws, 16)
+                sub = win[slot, pl.ds(off, subwin), :]  # [subwin, Cout]
+                valid = (g_idx >= 0) & (local >= 0) & (local < subwin)
+                safe = jnp.where(valid, local, -1)
+                oh = (col == safe[:, None]).astype(dtype)
+                rows_g = jnp.dot(oh, sub, preferred_element_type=jnp.float32)
+                rg = rows_g.astype(dtype)
             acc = acc + jnp.dot(rg, wt_ref[k], preferred_element_type=jnp.float32)
             contrib = jax.lax.dot_general(
                 x, rg,
@@ -273,7 +315,8 @@ def _bwd_fused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "chunk", "subwin", "interpret")
+    jax.jit,
+    static_argnames=("window", "chunk", "subwin", "interpret", "center_k"),
 )
 def windowed_conv_bwd_fused(
     feats: jnp.ndarray,
@@ -287,6 +330,7 @@ def windowed_conv_bwd_fused(
     chunk: int,
     subwin: int,
     interpret: bool = False,
+    center_k: int = None,
 ):
     """(dX [V, Cin] f32, dW [K, Cin, Cout] f32) in one banded pass.
 
@@ -333,7 +377,7 @@ def windowed_conv_bwd_fused(
     fn = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, chunk=chunk, window=window, subwin=subwin,
-            k_offsets=k,
+            k_offsets=k, center_k=center_k,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((v_out, cin_pad), jnp.float32),
@@ -504,7 +548,7 @@ def _localize(nbr, ws, wskt, off):
 
 def sharded_gather_conv(
     feats, nbr, kernel, ws, wskt, *, window, chunk, subwin, shards,
-    interpret=False,
+    interpret=False, center_k=None,
 ):
     """windowed_gather_conv, shard_map'd over the data mesh when shards > 1.
 
@@ -513,7 +557,10 @@ def sharded_gather_conv(
     offset is in *input*-row space, ``feats.shape[0] // shards``.
     """
     mesh = _data_mesh(shards)
-    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=interpret)
+    kw = dict(
+        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+        center_k=center_k,
+    )
     if mesh is None:
         return windowed_gather_conv(feats, nbr, kernel, ws, wskt, **kw)
     axis = mesh.axis_names[0]
@@ -535,13 +582,16 @@ def sharded_gather_conv(
 
 def sharded_conv_bwd_fused(
     feats, nbr, g, w_t, ws, wskt, *, window, chunk, subwin, shards,
-    interpret=False,
+    interpret=False, center_k=None,
 ):
     """Fused banded backward under shard_map: dX stays row-sharded, the
     per-shard partial dW is psum'd over the mesh (the DP gradient
     reduction, folded into the island)."""
     mesh = _data_mesh(shards)
-    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=interpret)
+    kw = dict(
+        window=window, chunk=chunk, subwin=subwin, interpret=interpret,
+        center_k=center_k,
+    )
     if mesh is None:
         return windowed_conv_bwd_fused(feats, nbr, g, w_t, ws, wskt, **kw)
     axis = mesh.axis_names[0]
@@ -590,25 +640,31 @@ def sharded_conv_dw(
     )(feats, nbr, g, ws, wskt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _banded_core(window, chunk, subwin, interpret, shards, feats, nbr, kernel, ws, wsk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _banded_core(
+    window, chunk, subwin, interpret, shards, center_k,
+    feats, nbr, kernel, ws, wsk,
+):
     return sharded_gather_conv(
         feats, nbr, kernel, ws, wsk,
         window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret,
+        interpret=interpret, center_k=center_k,
     )
 
 
-def _banded_fwd(window, chunk, subwin, interpret, shards, feats, nbr, kernel, ws, wsk):
+def _banded_fwd(
+    window, chunk, subwin, interpret, shards, center_k,
+    feats, nbr, kernel, ws, wsk,
+):
     out = sharded_gather_conv(
         feats, nbr, kernel, ws, wsk,
         window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret,
+        interpret=interpret, center_k=center_k,
     )
     return out, (feats, nbr, kernel, ws, wsk)
 
 
-def _banded_bwd(window, chunk, subwin, interpret, shards, res, g):
+def _banded_bwd(window, chunk, subwin, interpret, shards, center_k, res, g):
     """Banded backward for the symmetric submanifold conv.
 
     The fused kernel gathers g once per offset via the mirrored-offset
@@ -630,10 +686,12 @@ def _banded_bwd(window, chunk, subwin, interpret, shards, res, g):
 
     gc = cast_in(g.astype(jnp.float32))
     w_t = jnp.transpose(cast_in(kernel)[::-1], (0, 2, 1))  # w_t[k] = W[K-1-k]^T
+    # the mirrored center offset is the center itself (K-1-c == c for the
+    # odd symmetric 3^3 map), so the fast path carries over unchanged
     dx, dw = sharded_conv_bwd_fused(
         cast_in(feats), nbr, gc, w_t, ws, wsk,
         window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret,
+        interpret=interpret, center_k=center_k,
     )
     return dx.astype(feats.dtype), None, dw.astype(kernel.dtype), None, None
 
@@ -661,7 +719,13 @@ def banded_subm_conv(
     (``wsk`` in its transposed [K, n_chunks] SMEM layout).  ``shards > 1``
     runs fwd and bwd kernels shard_map'd over the active data mesh
     (metadata must then be block-clamped, block = rows per shard).
+
+    The symmetric map's center offset (index K // 2) is the identity —
+    both kernels fetch its rows by a direct window slice instead of the
+    one-hot gather matmul (and the mirror maps it to itself in the bwd).
     """
+    center_k = nbr.shape[1] // 2  # 13 for the 3^3 map
     return _banded_core(
-        window, chunk, subwin, interpret, shards, feats, nbr, kernel, ws, wsk
+        window, chunk, subwin, interpret, shards, center_k,
+        feats, nbr, kernel, ws, wsk,
     )
