@@ -122,7 +122,12 @@ class MaskedBatchNorm(nn.Module):
 
         shape = (1,) * (x.ndim - 1) + (width,)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean.reshape(shape)) * (inv * scale).reshape(shape) + bias.reshape(shape)
+        y = (x - mean.reshape(shape)) * (inv * scale).reshape(shape) + bias.reshape(shape)
+        # stats/normalization math runs f32 (the f32 mean/scale promote the
+        # elementwise ops); storage keeps the input dtype so bf16 activations
+        # stay bf16 through the encoders — HBM traffic, not FLOPs, bounds the
+        # BN/ReLU legs
+        return y.astype(x.dtype)
 
 
 def _conv_init(k: int, cin: int):

@@ -316,7 +316,9 @@ def _bwd_fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "chunk", "subwin", "interpret", "center_k"),
+    static_argnames=(
+        "window", "chunk", "subwin", "interpret", "center_k", "dx_dtype"
+    ),
 )
 def windowed_conv_bwd_fused(
     feats: jnp.ndarray,
@@ -331,6 +333,7 @@ def windowed_conv_bwd_fused(
     subwin: int,
     interpret: bool = False,
     center_k: int = None,
+    dx_dtype=jnp.float32,
 ):
     """(dX [V, Cin] f32, dW [K, Cin, Cout] f32) in one banded pass.
 
@@ -380,7 +383,10 @@ def windowed_conv_bwd_fused(
             k_offsets=k, center_k=center_k,
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((v_out, cin_pad), jnp.float32),
+            # dX may store in the activation dtype (bf16 mixed precision) —
+            # the accumulator stays f32 in-kernel; dW always accumulates and
+            # stores f32 (it is summed across the whole grid in VMEM)
+            jax.ShapeDtypeStruct((v_out, cin_pad), dx_dtype),
             jax.ShapeDtypeStruct((k, cin_pad, cout_pad), jnp.float32),
         ],
         grid_spec=grid_spec,
@@ -548,7 +554,7 @@ def _localize(nbr, ws, wskt, off):
 
 def sharded_gather_conv(
     feats, nbr, kernel, ws, wskt, *, window, chunk, subwin, shards,
-    interpret=False, center_k=None,
+    interpret=False, center_k=None, out_dtype=jnp.float32,
 ):
     """windowed_gather_conv, shard_map'd over the data mesh when shards > 1.
 
@@ -559,7 +565,7 @@ def sharded_gather_conv(
     mesh = _data_mesh(shards)
     kw = dict(
         window=window, chunk=chunk, subwin=subwin, interpret=interpret,
-        center_k=center_k,
+        center_k=center_k, out_dtype=out_dtype,
     )
     if mesh is None:
         return windowed_gather_conv(feats, nbr, kernel, ws, wskt, **kw)
@@ -582,7 +588,7 @@ def sharded_gather_conv(
 
 def sharded_conv_bwd_fused(
     feats, nbr, g, w_t, ws, wskt, *, window, chunk, subwin, shards,
-    interpret=False, center_k=None,
+    interpret=False, center_k=None, dx_dtype=jnp.float32,
 ):
     """Fused banded backward under shard_map: dX stays row-sharded, the
     per-shard partial dW is psum'd over the mesh (the DP gradient
@@ -590,7 +596,7 @@ def sharded_conv_bwd_fused(
     mesh = _data_mesh(shards)
     kw = dict(
         window=window, chunk=chunk, subwin=subwin, interpret=interpret,
-        center_k=center_k,
+        center_k=center_k, dx_dtype=dx_dtype,
     )
     if mesh is None:
         return windowed_conv_bwd_fused(feats, nbr, g, w_t, ws, wskt, **kw)
@@ -640,31 +646,33 @@ def sharded_conv_dw(
     )(feats, nbr, g, ws, wskt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _banded_core(
-    window, chunk, subwin, interpret, shards, center_k,
+    window, chunk, subwin, interpret, shards, center_k, out_dtype,
     feats, nbr, kernel, ws, wsk,
 ):
     return sharded_gather_conv(
         feats, nbr, kernel, ws, wsk,
         window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret, center_k=center_k,
+        interpret=interpret, center_k=center_k, out_dtype=out_dtype,
     )
 
 
 def _banded_fwd(
-    window, chunk, subwin, interpret, shards, center_k,
+    window, chunk, subwin, interpret, shards, center_k, out_dtype,
     feats, nbr, kernel, ws, wsk,
 ):
     out = sharded_gather_conv(
         feats, nbr, kernel, ws, wsk,
         window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret, center_k=center_k,
+        interpret=interpret, center_k=center_k, out_dtype=out_dtype,
     )
     return out, (feats, nbr, kernel, ws, wsk)
 
 
-def _banded_bwd(window, chunk, subwin, interpret, shards, center_k, res, g):
+def _banded_bwd(
+    window, chunk, subwin, interpret, shards, center_k, out_dtype, res, g
+):
     """Banded backward for the symmetric submanifold conv.
 
     The fused kernel gathers g once per offset via the mirrored-offset
@@ -688,10 +696,13 @@ def _banded_bwd(window, chunk, subwin, interpret, shards, center_k, res, g):
     w_t = jnp.transpose(cast_in(kernel)[::-1], (0, 2, 1))  # w_t[k] = W[K-1-k]^T
     # the mirrored center offset is the center itself (K-1-c == c for the
     # odd symmetric 3^3 map), so the fast path carries over unchanged
+    # dX stays f32: bf16 cotangents measured SLOWER end-to-end (the
+    # upstream BN/residual backwards re-convert them, adding elementwise
+    # passes that outweigh the halved dX write) — see PERF.md round 3
     dx, dw = sharded_conv_bwd_fused(
         cast_in(feats), nbr, gc, w_t, ws, wsk,
         window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret, center_k=center_k,
+        interpret=interpret, center_k=center_k, dx_dtype=jnp.float32,
     )
     return dx.astype(feats.dtype), None, dw.astype(kernel.dtype), None, None
 
@@ -725,7 +736,12 @@ def banded_subm_conv(
     one-hot gather matmul (and the mirror maps it to itself in the bwd).
     """
     center_k = nbr.shape[1] // 2  # 13 for the 3^3 map
+    # activations store in the compute dtype (bf16 mixed precision halves
+    # the conv-output + BN HBM traffic); accumulation is f32 in-kernel
+    from instancerefer_tpu.ops.precision import get_compute_dtype
+
+    out_dtype = get_compute_dtype() or jnp.float32
     return _banded_core(
-        window, chunk, subwin, interpret, shards, center_k,
+        window, chunk, subwin, interpret, shards, center_k, out_dtype,
         feats, nbr, kernel, ws, wsk,
     )

@@ -277,11 +277,12 @@ def _down_conv_banded_core(window, chunk, subwin, up_chunk, up_window,
                            up_subwin, interpret, shards, feats, down, up_row,
                            up_k, kernel, wsd, wskd, up8, wsu, wsktu):
     from instancerefer_tpu.ops.pallas_conv import sharded_gather_conv
+    from instancerefer_tpu.ops.precision import get_compute_dtype
 
     return sharded_gather_conv(
         cast_in(feats), down, cast_in(kernel), wsd, wskd,
         window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret,
+        interpret=interpret, out_dtype=get_compute_dtype() or jnp.float32,
     )
 
 
