@@ -132,7 +132,7 @@ class BatchSpec:
             if not self.pallas_conv or subwin <= 0:
                 return None
             window = min(window, v_in)
-            if v_out % chunk or window < subwin or window % 16 or v_in < window:
+            if v_out % chunk or window < subwin or window % 16:
                 return None
             return chunk, window, subwin
 

@@ -92,7 +92,10 @@ class MaskedBatchNorm(nn.Module):
             bias = jnp.pad(bias, (0, width - self.features))
 
         if train:
-            flat = x.reshape(-1, width)
+            # stats MUST be f32: jnp.square on bf16 activations loses the
+            # E[x^2] - mean^2 cancellation (measured 12x-wrong variance for
+            # |mean| >> std), and the mask=None branch would reduce in bf16
+            flat = x.reshape(-1, width).astype(jnp.float32)
             if mask is None:
                 n = jnp.asarray(flat.shape[0], jnp.float32)
                 mean = jnp.mean(flat, axis=0)

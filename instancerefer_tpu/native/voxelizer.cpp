@@ -218,7 +218,15 @@ void ir_band_starts(const int32_t* nbr, int64_t v_out, int32_t k,
     // Drop-free iff every offset's [lo_k, hi_k] extent fits its clamped band
     // — checked from the per-offset extents already gathered above, so the
     // second per-entry pass below runs only for offsets that actually drop.
-    bool maybe_drops = false;
+    // The kernels' center-offset (k=13 identity) fast path on 3^3 maps is
+    // all-or-nothing per chunk: if the window cannot hold the chunk's
+    // diagonal, every center row is zeroed — count them all as dropped so
+    // the zero-drop invariant protecting the fast path stays sound.
+    const bool center_misaligned =
+        (k == 27) && !empty &&
+        (int64_t(ci) * chunk < wsafe ||
+         int64_t(ci) * chunk + chunk > int64_t(wsafe) + window);
+    bool maybe_drops = center_misaligned;
     for (int32_t j = 0; j < k; ++j) {
       int64_t l = (lo_k[j] == kBig) ? wsafe : (int64_t(lo_k[j]) / align) * align;
       int64_t up = int64_t(wsafe) + window - subwin;
@@ -235,7 +243,9 @@ void ir_band_starts(const int32_t* nbr, int64_t v_out, int32_t k,
           int32_t v = e[j];
           if (v >= 0) {
             int64_t local = int64_t(v) - wsk_t[int64_t(j) * n + ci];
-            if (local < 0 || local >= subwin) ++drop_acc;
+            if (local < 0 || local >= subwin ||
+                (j == 13 && center_misaligned))
+              ++drop_acc;
           }
         }
       }

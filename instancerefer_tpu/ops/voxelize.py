@@ -279,6 +279,16 @@ def compute_offset_window_starts(
     valid = blk >= 0
     local = blk - wsk[:, None, :]
     ok = valid & (local >= 0) & (local < subwin)
+    if k == 27:
+        # The kernels' center-offset (k=13 identity) fast path is
+        # all-or-nothing per chunk: when the window cannot hold the chunk's
+        # diagonal it zeroes EVERY center row, including ones whose band
+        # entry the one-hot would keep — count them all as dropped so the
+        # zero-drop invariant protecting the fast path stays sound.
+        diag = np.arange(n) * chunk
+        bad = (ws >= 0) & ~((diag >= ws) & (diag + chunk <= ws + window))
+        if bad.any():
+            ok[bad, :, 13] = False
     total = int(valid.sum())
     dropped = total - int(ok.sum())
     return ws, wsk_t, dropped, total

@@ -27,35 +27,65 @@ import numpy as np
 ALIGN = 16
 
 
-def min_subwin(nbr: np.ndarray, chunk: int):
-    """(smallest aligned band width covering every offset's neighbors,
-    band-start spread).
-
-    The kernels clamp each offset's band start into
-    [ws, ws + window - subwin], so a subwin recommendation alone is not
-    drop-free: the chunk's *window* must also cover the spread between the
-    chunk-global aligned start and the widest offset's aligned start plus
-    subwin.  ``spread`` is that max offset, so window >= spread + subwin
-    guarantees the clamp never pushes a band off its neighbors.
-    """
+def band_extents(nbr: np.ndarray, chunk: int):
+    """Per-chunk per-offset neighbor extents: (lo_k, hi_k), both [n, K];
+    lo_k = INT32_MAX and hi_k = -1 where an offset has no valid neighbor.
+    Compact (chunk-times smaller than nbr) and sufficient to replay the
+    exact host/kernel band-clamp math for ANY (window, subwin) candidate."""
     v_out, k = nbr.shape
     n = v_out // chunk
     if n == 0:
-        return 0, 0
+        return None
     big = np.iinfo(np.int32).max
     blk = nbr[: n * chunk].reshape(n, chunk, k)
     lo_k = np.where(blk >= 0, blk, big).min(axis=1)
     hi_k = np.where(blk >= 0, blk, -1).max(axis=1)
-    wsk = np.where(lo_k == big, big, (lo_k // ALIGN) * ALIGN)
-    ok = (hi_k >= 0) & (wsk < big)
+    return lo_k, hi_k
+
+
+def min_subwin(ext):
+    """Smallest aligned band width covering every offset's neighbors."""
+    if ext is None:
+        return 0
+    lo_k, hi_k = ext
+    ok = hi_k >= 0
     if not ok.any():
-        return 0, 0
-    need = int((hi_k[ok] - wsk[ok] + 1).max())
-    ws = np.where(
-        lo_k.min(axis=1) == big, 0, (lo_k.min(axis=1) // ALIGN) * ALIGN
-    )
-    spread = int((wsk[ok] - np.broadcast_to(ws[:, None], wsk.shape)[ok]).max())
-    return -(-need // ALIGN) * ALIGN, spread
+        return 0
+    wsk = (lo_k[ok] // ALIGN) * ALIGN
+    need = int((hi_k[ok] - wsk + 1).max())
+    return -(-need // ALIGN) * ALIGN
+
+
+def drops_exist(ext, chunk, window, subwin, cap_out, cap_in):
+    """Replay the production band-start math (ops/voxelize
+    compute_offset_window_starts as run per sample by pad_sample: the window
+    is clipped inside each sample's input block) for a candidate
+    (window, subwin) and report whether ANY neighbor entry would drop —
+    including the center-offset fast path's all-or-nothing chunks on 3^3
+    maps.  Ground truth for the tool's drop-free claim."""
+    if ext is None or subwin <= 0 or window <= 0:
+        return False
+    lo_k, hi_k = ext
+    n, k = lo_k.shape
+    big = np.iinfo(np.int32).max
+    valid = hi_k >= 0
+    lo_al = np.where(valid, (lo_k // ALIGN) * ALIGN, big)
+    lo_g = lo_al.min(axis=1)
+    emptyc = lo_g == big
+    window = min(window, cap_in)
+    subwin = min(subwin, window)
+    chunk_start = np.arange(n, dtype=np.int64) * chunk
+    blk_lo = (chunk_start // cap_out) * cap_in
+    ws = np.clip(np.where(emptyc, blk_lo, lo_g), blk_lo, blk_lo + cap_in - window)
+    wsk = np.where(valid, lo_al, ws[:, None])
+    wsk = np.clip(wsk, ws[:, None], (ws + window - subwin)[:, None])
+    bad = valid & ((lo_k < wsk) | (hi_k >= wsk + subwin))
+    if k == 27:
+        mis = ~emptyc & ~(
+            (chunk_start >= ws) & (chunk_start + chunk <= ws + window)
+        )
+        bad |= mis[:, None] & valid & (np.arange(k)[None, :] == 13)
+    return bool(bad.any())
 
 
 def roundup128(n: int) -> int:
@@ -70,12 +100,15 @@ def recommend(minimum: int, margin: int) -> int:
 
 def calibrate(batches, spec, margin):
     subm, down, up = {}, {}, {}
-    spreads = {"subm": {}, "down": {}, "up": {}}
+    # per-key list of band extents ([n, K] per batch — chunk-times smaller
+    # than the nbr arrays) for the exact drop-replay window check
+    extents = {"subm": {}, "down": {}, "up": {}}
 
     def acc(table, name, key, nbr, chunk):
-        sw, spread = min_subwin(nbr, chunk)
-        table[key] = max(table.get(key, 0), sw)
-        spreads[name][key] = max(spreads[name].get(key, 0), spread)
+        ext = band_extents(nbr, chunk)
+        table[key] = max(table.get(key, 0), min_subwin(ext))
+        if ext is not None:
+            extents[name].setdefault(key, []).append(ext)
 
     for batch in batches:
         for prefix in ("scene", "inst"):
@@ -96,7 +129,7 @@ def calibrate(batches, spec, margin):
                     ).astype(np.int32)
                     acc(up, "up", key, up8, spec.pallas_chunk)
                 prev_v = nbr3.shape[0]
-    return subm, down, up, spreads
+    return subm, down, up, extents
 
 
 def main(argv=None):
@@ -156,7 +189,7 @@ def main(argv=None):
                 except StopIteration:
                     return
 
-    subm, down, up, spreads = calibrate(batches(), spec, args.margin)
+    subm, down, up, extents = calibrate(batches(), spec, args.margin)
 
     def profile(table, prefix):
         return [
@@ -179,42 +212,62 @@ def main(argv=None):
     print(f"  pallas_down_subwin_inst: {profile(down, 'inst')}")
     print(f"  pallas_up_subwin: {recommend(up_all, args.margin)}")
 
-    # --- window sufficiency: the kernels clamp band starts into
-    # [ws, ws + window - subwin], so window must cover the measured
-    # band-start spread + the recommended subwin or neighbors still drop.
-    def window_req(name, table, key):
-        rec = recommend(table.get(key, 0), args.margin)
-        if not rec:
-            return 0
-        spread = spreads[name].get(key, 0)
-        return -(-(spread + rec) // ALIGN) * ALIGN
+    # --- window sufficiency, by exact replay: re-run the production
+    # band-clamp math (incl. the per-sample window clip and the 3^3
+    # center-offset all-or-nothing chunks) over the recorded extents with
+    # each recommended subwin and the CURRENT window profile; if anything
+    # would drop, search the smallest drop-free window.
+    def caps_for(prefix, st, name):
+        caps = spec.scene_caps if prefix == "scene" else spec.inst_caps
+        if name == "subm":
+            return caps[st], caps[st]
+        if name == "down":
+            return caps[st], caps[st - 1]
+        return caps[st - 1], caps[st]  # up: nbr over prev rows, gathers this stage
 
     problems = []
     for prefix in ("scene", "inst"):
-        for s in range(spec.num_stages):
-            key = (prefix, s)
+        for st in range(spec.num_stages):
+            key = (prefix, st)
             checks = [
-                ("window", "subm", subm, spec.pallas_window, "pallas_window"),
-                ("down_window", "down", down,
-                 spec.down_geom_for(s, prefix)[1], "pallas_down_window"),
-                ("up_window", "up", up, spec.pallas_up_window, "pallas_up_window"),
+                ("subm", subm, spec.pallas_chunk, spec.pallas_window,
+                 "pallas_window"),
+                ("down", down, spec.pallas_down_chunk,
+                 spec.down_geom_for(st, prefix)[1], "pallas_down_window"),
+                ("up", up, spec.pallas_chunk, spec.pallas_up_window,
+                 "pallas_up_window"),
             ]
-            for label, name, table, have, yaml_key in checks:
-                need = window_req(name, table, key)
-                if need and need > have:
-                    problems.append(
-                        f"#   {prefix} stage {s}: {yaml_key} window {have} < "
-                        f"required {need} (band-start spread "
-                        f"{spreads[name].get(key, 0)} + subwin)"
-                    )
+            for name, table, chunk, have, yaml_key in checks:
+                rec = recommend(table.get(key, 0), args.margin)
+                exts = extents[name].get(key, [])
+                if not rec or not exts:
+                    continue
+                cap_out, cap_in = caps_for(prefix, st, name)
+                if not any(
+                    drops_exist(e, chunk, have, rec, cap_out, cap_in)
+                    for e in exts
+                ):
+                    continue
+                need = have
+                while need < cap_in and any(
+                    drops_exist(e, chunk, need, rec, cap_out, cap_in)
+                    for e in exts
+                ):
+                    need += ALIGN
+                problems.append(
+                    f"#   {prefix} stage {st}: {yaml_key} window {have} "
+                    f"drops with subwin {rec}; smallest drop-free window "
+                    f"on this data: {need}"
+                )
     if problems:
-        print("\n# WARNING: recommended subwins need WIDER windows (the band")
-        print("# clamp would otherwise still drop neighbors):")
+        print("\n# WARNING: recommended subwins need WIDER windows (exact")
+        print("# replay of the band clamp found drops):")
         for p in problems:
             print(p)
     else:
-        print("# window check: current window profiles cover the measured")
-        print("# band-start spreads — recommendations above are drop-free.")
+        print("# window check (exact replay of the band clamp incl. the")
+        print("# per-sample clip and center-offset chunks): current window")
+        print("# profiles are drop-free with the recommendations above.")
 
 
 if __name__ == "__main__":

@@ -109,16 +109,10 @@ def main():
     dest = os.path.abspath(args.dest)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(dest, {"params": params, "batch_stats": batch_stats}, force=True)
-    n = sum(x.size for x in jax_leaves(params))
+    import jax
+
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"saved {dest} ({n/1e6:.2f} M params)")
-
-
-def jax_leaves(tree):
-    if isinstance(tree, dict):
-        for v in tree.values():
-            yield from jax_leaves(v)
-    else:
-        yield tree
 
 
 if __name__ == "__main__":

@@ -107,3 +107,25 @@ def test_bn_momentum_schedule_matches_reference():
     assert bn_momentum_for_epoch(200, step, rate) == pytest.approx(0.001)
     # disabled schedule -> torch default momentum
     assert bn_momentum_for_epoch(5, None, None) == 0.1
+
+
+def test_bn_stats_stay_f32_for_bf16_activations(rng):
+    """bf16 activation storage (round 3) must not corrupt BN statistics:
+    jnp.square on bf16 loses the E[x^2] - mean^2 cancellation (measured
+    12x-wrong variance for |mean| >> std), so the stats path must upcast.
+    Tested for both the masked and the mask-free branches."""
+    c = 8
+    x = (10.0 + 0.1 * rng.normal(size=(4096, c))).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    true_var = np.var(np.asarray(xb, np.float32), axis=0)
+
+    for mask in (jnp.ones((4096,), jnp.float32), None):
+        bn = MaskedBatchNorm(c)
+        variables = bn.init(jax.random.key(0), xb, mask, train=True)
+        _, upd = bn.apply(
+            variables, xb, mask, train=True, momentum=1.0,
+            mutable=["batch_stats"],
+        )
+        got_var = np.asarray(upd["batch_stats"]["var"])
+        unbiased = true_var * 4096 / 4095
+        np.testing.assert_allclose(got_var, unbiased, rtol=0.05)

@@ -109,6 +109,12 @@ def _numpy_band_starts(nbr, chunk, window, subwin, v_in, align=16,
     valid = blk >= 0
     local = blk - wsk[:, None, :]
     ok = valid & (local >= 0) & (local < subwin)
+    if k == 27:
+        # center-offset fast-path rule: all-or-nothing chunks count fully
+        diag = np.arange(n) * chunk
+        bad = (ws >= 0) & ~((diag >= ws) & (diag + chunk <= ws + window))
+        if bad.any():
+            ok[bad, :, 13] = False
     total = int(valid.sum())
     return ws, wsk_t, total - int(ok.sum()), total
 
@@ -148,3 +154,36 @@ def test_native_invert_down_identical(rng):
     up_k[tgt] = kk.astype(np.int32)
     np.testing.assert_array_equal(got[0], up_row)
     np.testing.assert_array_equal(got[1], up_k)
+
+
+def test_center_misaligned_chunks_counted_as_dropped(rng):
+    """The kernels' center-offset (k=13 identity) fast path zeroes a whole
+    chunk's center contribution when the window cannot hold the chunk's
+    diagonal; the drop counter must count ALL its live center entries so the
+    zero-drop invariant protecting the fast path stays sound (native and
+    numpy paths agree)."""
+    v, chunk, window, subwin = 512, 64, 128, 64
+    nbr = np.full((v, 27), -1, np.int32)
+    nbr[:, 13] = np.arange(v)  # identity center (subm semantics)
+    # chunk 3 (rows 192..255): a far-back neighbor pulls ws to 0, and the
+    # window [0, 128) cannot hold the diagonal -> all 64 center rows must
+    # count as dropped even though the one-hot band would keep none/some
+    nbr[192, 0] = 0
+    res = V.compute_offset_window_starts(
+        nbr, chunk, window, subwin, v, count_drops=True
+    )
+    ws, wsk_t, dropped, total = res
+    assert ws[3] == 0  # pulled back by the far neighbor
+    assert dropped >= 64  # every center row of chunk 3
+    if V.native_available():
+        V2 = V._NATIVE
+        V._NATIVE = None
+        try:
+            py = V.compute_offset_window_starts(
+                nbr, chunk, window, subwin, v, count_drops=True
+            )
+        finally:
+            V._NATIVE = V2
+        np.testing.assert_array_equal(ws, py[0])
+        np.testing.assert_array_equal(wsk_t, py[1])
+        assert dropped == py[2] and total == py[3]

@@ -350,12 +350,20 @@ def test_calibrate_bands_helpers(rng):
     v, chunk = 512, 64
     nbr = np.full((v, 27), -1, np.int32)
     nbr[:, 13] = np.arange(v)
-    m, spread = cb.min_subwin(nbr, chunk)
-    assert spread == 0  # identity map: per-offset band == chunk band
+    ext = cb.band_extents(nbr, chunk)
+    m = cb.min_subwin(ext)
     assert chunk <= m <= chunk + cb.ALIGN
     assert cb.recommend(m, margin=32) == 128
     assert cb.recommend(0, margin=32) == 0
     assert cb.recommend(300, margin=32) == 384
+    # exact drop replay: the identity map is drop-free at (128, 128) but a
+    # sub-chunk subwin must drop; a misaligned-diagonal chunk (window too
+    # small for a far-back neighbor) must also report drops
+    assert not cb.drops_exist(ext, chunk, 128, 128, v, v)
+    assert cb.drops_exist(ext, chunk, 128, 32, v, v)
+    nbr2 = nbr.copy()
+    nbr2[192, 0] = 0  # pulls chunk 3's window back; 128 cannot span to 256
+    assert cb.drops_exist(cb.band_extents(nbr2, chunk), chunk, 128, 128, v, v)
 
     # calibrate() aggregates the max over batches and prefixes
     batch = {}
@@ -375,7 +383,7 @@ def test_calibrate_bands_helpers(rng):
         pallas_chunk = 64
         pallas_down_chunk = 64
 
-    subm, down, up, spreads = cb.calibrate([batch], _Spec(), margin=16)
+    subm, down, up, extents = cb.calibrate([batch], _Spec(), margin=16)
     assert subm[("scene", 0)] >= 64
     assert down[("scene", 1)] >= 64
     assert up[("scene", 1)] >= 32  # 2:1 compression halves the up span
