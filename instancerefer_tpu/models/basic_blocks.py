@@ -71,16 +71,36 @@ class MaskedBatchNorm(nn.Module):
     features: int
     epsilon: float = 1e-5
 
-    @nn.compact
-    def __call__(self, x, mask=None, *, train: bool, momentum: float = 0.1):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
+    def setup(self):
+        # setup-style (not nn.compact) so ``fold_eval`` below can be called
+        # instead of __call__; the param/variable tree is identical.
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
         )
-        ra_var = self.variable(
+        self.ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
+
+    def fold_eval(self, width: int):
+        """Eval-mode BN folded to a per-channel affine (scale', bias') padded
+        to ``width`` lanes — the banded conv kernels fuse it (+ ReLU) into
+        their output epilogue, eliminating the BN elementwise HBM pass.
+        y = (x - mean) * rsqrt(var + eps) * scale + bias
+          = x * scale' + bias'  with scale' = scale * inv, bias' = bias - mean * scale'.
+        Padding lanes stay exactly zero (zero-padded scale'/bias')."""
+        inv = jax.lax.rsqrt(self.ra_var.value + self.epsilon)
+        sc = self.scale * inv
+        bi = self.bias - self.ra_mean.value * sc
+        if width != self.features:
+            sc = jnp.pad(sc, (0, width - self.features))
+            bi = jnp.pad(bi, (0, width - self.features))
+        return sc, bi
+
+    def __call__(self, x, mask=None, *, train: bool, momentum: float = 0.1):
+        scale, bias = self.scale, self.bias
+        ra_mean, ra_var = self.ra_mean, self.ra_var
 
         # padded-lane regime (sparse encoders): x is wider than ``features``
         # with zero padding lanes.  Zero-padded scale/bias keep those lanes
@@ -188,7 +208,8 @@ class SubMConv3(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: jnp.ndarray, sv: SparseStage, use_pallas: bool = False
+        self, feats: jnp.ndarray, sv: SparseStage, use_pallas: bool = False,
+        epilogue=None,
     ) -> jnp.ndarray:
         cin = self.in_features if self.in_features is not None else feats.shape[-1]
         kernel = self.param("kernel", _conv_init(27, cin), (27, cin, self.features))
@@ -196,19 +217,35 @@ class SubMConv3(nn.Module):
         # stays padded — no per-conv activation pad/slice round-trips
         kernel_p = _pad_kernel(kernel, feats.shape[-1], _pad128(self.features))
         if use_pallas and sv.ws3 is not None:
-            from instancerefer_tpu.ops.pallas_conv import banded_subm_conv
+            from instancerefer_tpu.ops.pallas_conv import (
+                banded_subm_conv,
+                banded_subm_conv_eval,
+            )
             from instancerefer_tpu.ops.precision import cast_in
 
-            out = banded_subm_conv(
-                cast_in(feats), sv.nbr3, cast_in(kernel_p), sv.ws3, sv.wsk3,
+            kw = dict(
                 window=sv.pallas_window, chunk=sv.pallas_chunk,
                 subwin=sv.pallas_subwin, interpret=sv.pallas_interpret,
                 shards=sv.data_shards,
+            )
+            if epilogue is not None:
+                sc, bi, relu = epilogue
+                return banded_subm_conv_eval(
+                    cast_in(feats), sv.nbr3, cast_in(kernel_p), sv.ws3,
+                    sv.wsk3, scale=sc, bias=bi, relu=relu, **kw,
+                )
+            out = banded_subm_conv(
+                cast_in(feats), sv.nbr3, cast_in(kernel_p), sv.ws3, sv.wsk3,
+                **kw,
             )
         else:
             # custom VJP: backward is a mirrored-offset gather, not XLA's
             # scatter-add (several times faster on TPU)
             out = subm_gather_conv(feats, sv.nbr3, kernel_p)
+            if epilogue is not None:
+                sc, bi, relu = epilogue
+                out = out * sc[None, :] + bi[None, :]
+                return jnp.maximum(out, 0.0) if relu else out
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + jnp.pad(bias, (0, out.shape[-1] - self.features))
@@ -222,7 +259,9 @@ class DownConv2(nn.Module):
     in_features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, feats_prev: jnp.ndarray, sv: SparseStage) -> jnp.ndarray:
+    def __call__(
+        self, feats_prev: jnp.ndarray, sv: SparseStage, epilogue=None
+    ) -> jnp.ndarray:
         cin = self.in_features if self.in_features is not None else feats_prev.shape[-1]
         kernel = self.param("kernel", _conv_init(8, cin), (8, cin, self.features))
         kernel_p = _pad_kernel(kernel, feats_prev.shape[-1], _pad128(self.features))
@@ -237,6 +276,7 @@ class DownConv2(nn.Module):
             up_chunk=sv.pallas_up_chunk,
             up_window=sv.pallas_up_window, up_subwin=sv.pallas_up_subwin,
             interpret=sv.pallas_interpret, shards=sv.data_shards,
+            epilogue=epilogue,
         )
 
 
@@ -250,20 +290,26 @@ class BasicConvolutionBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
         if self.ks == 3:
-            # banded Pallas whenever the batch carries window metadata — the
-            # custom banded VJP makes it valid for training too
-            x = SubMConv3(self.features, in_features=self.in_features, name="conv")(
-                feats, sv, use_pallas=True
-            )
+            conv = SubMConv3(self.features, in_features=self.in_features, name="conv")
         elif self.ks == 2:
-            x = DownConv2(self.features, in_features=self.in_features, name="conv")(
-                feats, sv
-            )
+            conv = DownConv2(self.features, in_features=self.in_features, name="conv")
         else:
             raise ValueError(f"unsupported kernel size {self.ks}")
-        x = MaskedBatchNorm(self.features, name="bn")(
-            x, sv.mask, train=train, momentum=bn_momentum
-        )
+        bn = MaskedBatchNorm(self.features, name="bn")
+        if not train:
+            # eval: BN folds to a per-channel affine fused (with the ReLU)
+            # into the banded kernel's epilogue — one HBM pass saved per conv
+            ep = (*bn.fold_eval(_pad128(self.features)), True)
+            if self.ks == 3:
+                return conv(feats, sv, use_pallas=True, epilogue=ep)
+            return conv(feats, sv, epilogue=ep)
+        if self.ks == 3:
+            # banded Pallas whenever the batch carries window metadata — the
+            # custom banded VJP makes it valid for training too
+            x = conv(feats, sv, use_pallas=True)
+        else:
+            x = conv(feats, sv)
+        x = bn(x, sv.mask, train=train, momentum=bn_momentum)
         return nn.relu(x)
 
 
@@ -277,11 +323,23 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
         f = self.features
-        x = SubMConv3(f, in_features=f, name="conv1")(feats, sv, use_pallas=True)
-        x = MaskedBatchNorm(f, name="bn1")(x, sv.mask, train=train, momentum=bn_momentum)
+        conv1 = SubMConv3(f, in_features=f, name="conv1")
+        conv2 = SubMConv3(f, in_features=f, name="conv2")
+        bn1 = MaskedBatchNorm(f, name="bn1")
+        bn2 = MaskedBatchNorm(f, name="bn2")
+        if not train:
+            # eval: both BNs fold into the kernels' epilogues (bn1 with the
+            # ReLU; bn2 affine-only, the residual add + ReLU stay XLA)
+            x = conv1(feats, sv, use_pallas=True,
+                      epilogue=(*bn1.fold_eval(_pad128(f)), True))
+            x = conv2(x, sv, use_pallas=True,
+                      epilogue=(*bn2.fold_eval(_pad128(f)), False))
+            return nn.relu(x + feats)
+        x = conv1(feats, sv, use_pallas=True)
+        x = bn1(x, sv.mask, train=train, momentum=bn_momentum)
         x = nn.relu(x)
-        x = SubMConv3(f, in_features=f, name="conv2")(x, sv, use_pallas=True)
-        x = MaskedBatchNorm(f, name="bn2")(x, sv.mask, train=train, momentum=bn_momentum)
+        x = conv2(x, sv, use_pallas=True)
+        x = bn2(x, sv.mask, train=train, momentum=bn_momentum)
         return nn.relu(x + feats)
 
 

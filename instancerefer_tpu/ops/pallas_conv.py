@@ -49,9 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(
-    ws_ref, wskt_ref, nbr_ref, w_ref, feats_hbm, out_ref, win, sem,
-    *, chunk, window, subwin, k_offsets, out_dtype, center_k=None,
+    ws_ref, wskt_ref, nbr_ref, w_ref, *rest,
+    chunk, window, subwin, k_offsets, out_dtype, center_k=None,
+    has_affine=False, relu=False,
 ):
+    if has_affine:
+        # eval-only fused BN epilogue: y = acc * scale + bias (+ ReLU) —
+        # eliminates the per-conv BN elementwise HBM pass
+        sc_ref, bi_ref, feats_hbm, out_ref, win, sem = rest
+    else:
+        sc_ref = bi_ref = None
+        feats_hbm, out_ref, win, sem = rest
     # ws_ref: scalar-prefetched [n_chunks] (drives the window DMA; -1 marks a
     # fully-empty padding chunk — skipped entirely, zero output);
     # wskt_ref: scalar-prefetched [K, n_chunks] per-offset band starts.
@@ -135,13 +143,18 @@ def _conv_kernel(
             acc = acc + jnp.dot(
                 rows.astype(dtype), w_ref[k], preferred_element_type=jnp.float32
             )
+        if has_affine:
+            acc = acc * sc_ref[0, :] + bi_ref[0, :]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
         out_ref[:] = acc.astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "window", "chunk", "subwin", "out_dtype", "interpret", "center_k"
+        "window", "chunk", "subwin", "out_dtype", "interpret", "center_k",
+        "relu",
     ),
 )
 def windowed_gather_conv(
@@ -157,6 +170,9 @@ def windowed_gather_conv(
     out_dtype=jnp.float32,
     interpret: bool = False,
     center_k: int = None,
+    affine_scale: jnp.ndarray = None,
+    affine_bias: jnp.ndarray = None,
+    relu: bool = False,
 ) -> jnp.ndarray:
     """sum_k gather(feats, nbr[:, k]) @ kernel[k], windowed.
 
@@ -174,6 +190,10 @@ def windowed_gather_conv(
       center_k: offset index whose map is the identity (nbr[v, k] in {v, -1}
         — the 3^3 submanifold center).  Its gather becomes a direct window
         slice instead of a one-hot matmul; None disables (down/up maps).
+      affine_scale/affine_bias: optional [Cout] f32 per-channel epilogue
+        (folded eval-mode BatchNorm), applied to the f32 accumulator before
+        the output cast; ``relu`` additionally clamps at 0.  EVAL-ONLY fast
+        path — this wrapper has no VJP for the epilogue.
     """
     v_out, k = nbr.shape
     assert v_out % chunk == 0, (v_out, chunk)
@@ -195,14 +215,28 @@ def windowed_gather_conv(
     if cout_pad != cout:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cout_pad - cout)))
 
+    has_affine = affine_scale is not None
+    in_specs = [
+        pl.BlockSpec((chunk, k), lambda i, ws, wskt: (i, 0)),  # nbr
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, fully resident
+    ]
+    extra = []
+    if has_affine:
+        sc = jnp.pad(affine_scale.astype(jnp.float32),
+                     (0, cout_pad - affine_scale.shape[0]))
+        bi = jnp.pad(affine_bias.astype(jnp.float32),
+                     (0, cout_pad - affine_bias.shape[0]))
+        extra = [sc.reshape(1, cout_pad), bi.reshape(1, cout_pad)]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # feats stay off-chip
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # window_start, offset_window_start (SMEM)
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((chunk, k), lambda i, ws, wskt: (i, 0)),  # nbr
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, fully resident
-            pl.BlockSpec(memory_space=pl.ANY),  # feats stay off-chip
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, cout_pad), lambda i, ws, wskt: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window, cin_pad), feats.dtype),
@@ -214,12 +248,13 @@ def windowed_gather_conv(
         functools.partial(
             _conv_kernel, chunk=chunk, window=window, subwin=subwin,
             k_offsets=k, out_dtype=out_dtype, center_k=center_k,
+            has_affine=has_affine, relu=relu,
         ),
         out_shape=jax.ShapeDtypeStruct((v_out, cout_pad), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )
-    out = fn(window_start, offset_window_start, nbr, kernel, feats)
+    out = fn(window_start, offset_window_start, nbr, kernel, *extra, feats)
     return out[:, :cout] if cout_pad != cout else out
 
 
@@ -555,6 +590,7 @@ def _localize(nbr, ws, wskt, off):
 def sharded_gather_conv(
     feats, nbr, kernel, ws, wskt, *, window, chunk, subwin, shards,
     interpret=False, center_k=None, out_dtype=jnp.float32,
+    affine_scale=None, affine_bias=None, relu=False,
 ):
     """windowed_gather_conv, shard_map'd over the data mesh when shards > 1.
 
@@ -565,25 +601,35 @@ def sharded_gather_conv(
     mesh = _data_mesh(shards)
     kw = dict(
         window=window, chunk=chunk, subwin=subwin, interpret=interpret,
-        center_k=center_k, out_dtype=out_dtype,
+        center_k=center_k, out_dtype=out_dtype, relu=relu,
     )
     if mesh is None:
-        return windowed_gather_conv(feats, nbr, kernel, ws, wskt, **kw)
+        return windowed_gather_conv(
+            feats, nbr, kernel, ws, wskt,
+            affine_scale=affine_scale, affine_bias=affine_bias, **kw,
+        )
     axis = mesh.axis_names[0]
     in_rows = feats.shape[0] // shards
     assert in_rows % 16 == 0, in_rows  # window starts stay 16-aligned per shard
     from jax.sharding import PartitionSpec as P
 
-    def local_fn(feats_l, nbr_l, ws_l, wskt_l, kern):
+    if affine_scale is None:
+        affine_scale = affine_bias = jnp.zeros((0,), jnp.float32)
+
+    def local_fn(feats_l, nbr_l, ws_l, wskt_l, kern, sc, bi):
         off = jax.lax.axis_index(axis) * in_rows
         nbr_a, ws_a, wskt_a = _localize(nbr_l, ws_l, wskt_l, off)
-        return windowed_gather_conv(feats_l, nbr_a, kern, ws_a, wskt_a, **kw)
+        return windowed_gather_conv(
+            feats_l, nbr_a, kern, ws_a, wskt_a,
+            affine_scale=sc if sc.shape[0] else None,
+            affine_bias=bi if bi.shape[0] else None, **kw,
+        )
 
     return jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(None, axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(None, axis), P(), P(), P()),
         out_specs=P(axis), check_vma=False,
-    )(feats, nbr, ws, wskt, kernel)
+    )(feats, nbr, ws, wskt, kernel, affine_scale, affine_bias)
 
 
 def sharded_conv_bwd_fused(
@@ -745,3 +791,79 @@ def banded_subm_conv(
         window, chunk, subwin, interpret, shards, center_k, out_dtype,
         feats, nbr, kernel, ws, wsk,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_eval_core(cfg, feats, nbr, kernel, ws, wsk, sc, bi):
+    window, chunk, subwin, interpret, shards, relu, out_dtype = cfg
+    return sharded_gather_conv(
+        feats, nbr, kernel, ws, wsk,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret, center_k=nbr.shape[1] // 2,
+        out_dtype=out_dtype, affine_scale=sc, affine_bias=bi, relu=relu,
+    )
+
+
+def _fused_eval_fwd(cfg, feats, nbr, kernel, ws, wsk, sc, bi):
+    out = _fused_eval_core(cfg, feats, nbr, kernel, ws, wsk, sc, bi)
+    return out, (feats, nbr, kernel, ws, wsk, sc, bi)
+
+
+def _fused_eval_bwd(cfg, res, g):
+    """Gradients for the fused eval conv by recompute: the forward's speed is
+    what matters (production eval takes no gradients); tests and any
+    eval-mode grad consumers re-derive base = conv(x) through the
+    differentiable banded core and apply the affine/ReLU chain rule."""
+    window, chunk, subwin, interpret, shards, relu, _ = cfg
+    feats, nbr, kernel, ws, wsk, sc, bi = res
+    base, vjp = jax.vjp(
+        lambda f, k: banded_subm_conv(
+            f, nbr, k, ws, wsk, window=window, chunk=chunk, subwin=subwin,
+            interpret=interpret, shards=shards,
+        ),
+        feats, kernel,
+    )
+    g = g.astype(jnp.float32)
+    h = base.astype(jnp.float32) * sc[None, :] + bi[None, :]
+    if relu:
+        g = g * (h > 0)
+    dsc = jnp.sum(g * base, axis=0).astype(sc.dtype)
+    dbi = jnp.sum(g, axis=0).astype(bi.dtype)
+    df, dk = vjp((g * sc[None, :]).astype(base.dtype))
+    return df, None, dk, None, None, dsc, dbi
+
+
+_fused_eval_core.defvjp(_fused_eval_fwd, _fused_eval_bwd)
+
+
+def banded_subm_conv_eval(
+    feats: jnp.ndarray,
+    nbr: jnp.ndarray,
+    kernel: jnp.ndarray,
+    ws: jnp.ndarray,
+    wsk: jnp.ndarray,
+    *,
+    window: int,
+    chunk: int,
+    subwin: int,
+    interpret: bool = False,
+    shards: int = 1,
+    scale: jnp.ndarray = None,
+    bias: jnp.ndarray = None,
+    relu: bool = False,
+) -> jnp.ndarray:
+    """Eval-mode fused banded 3^3 submanifold conv + BN affine (+ ReLU).
+
+    The folded BN epilogue (MaskedBatchNorm.fold_eval) is applied to the f32
+    accumulator inside the kernel, eliminating the separate BN elementwise
+    pass over HBM.  Differentiable via a recompute VJP (eval-mode grads are
+    test-only; the train path uses ``banded_subm_conv`` + module BatchNorm).
+    Padding rows of fully-empty chunks stay 0 (the unfused path leaves
+    relu(bias') there) — observably identical because padding rows are never
+    anyone's neighbor and all consumers mask.
+    """
+    from instancerefer_tpu.ops.precision import get_compute_dtype
+
+    cfg = (window, chunk, subwin, interpret, shards, relu,
+           get_compute_dtype() or jnp.float32)
+    return _fused_eval_core(cfg, feats, nbr, kernel, ws, wsk, scale, bias)

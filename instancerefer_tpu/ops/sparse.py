@@ -344,6 +344,61 @@ def _down_conv_banded_bwd(window, chunk, subwin, up_chunk, up_window,
 _down_conv_banded_core.defvjp(_down_conv_banded_fwd, _down_conv_banded_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _down_fused_eval_core(cfg, feats, down, up_row, up_k, kernel, wsd, wskd,
+                          up8, wsu, wsktu, sc, bi):
+    """Eval-mode fused down conv + BN affine (+ ReLU): the folded epilogue
+    runs inside the banded kernel; gradients (test-only in eval mode) go
+    through a recompute VJP over the differentiable down-conv core."""
+    (window, chunk, subwin, up_chunk, up_window, up_subwin, interpret,
+     shards, relu, out_dtype) = cfg
+    from instancerefer_tpu.ops.pallas_conv import sharded_gather_conv
+
+    return sharded_gather_conv(
+        cast_in(feats), down, cast_in(kernel), wsd, wskd,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret, out_dtype=out_dtype,
+        affine_scale=sc, affine_bias=bi, relu=relu,
+    )
+
+
+def _down_fused_eval_fwd(cfg, feats, down, up_row, up_k, kernel, wsd, wskd,
+                         up8, wsu, wsktu, sc, bi):
+    out = _down_fused_eval_core(
+        cfg, feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu,
+        sc, bi,
+    )
+    return out, (feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu,
+                 wsktu, sc, bi)
+
+
+def _down_fused_eval_bwd(cfg, res, g):
+    (window, chunk, subwin, up_chunk, up_window, up_subwin, interpret,
+     shards, relu, _) = cfg
+    (feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu, sc,
+     bi) = res
+    base, vjp = jax.vjp(
+        lambda f, k: down_gather_conv(
+            f, down, up_row, up_k, k, wsd, wskd, up8, wsu, wsktu,
+            window=window, chunk=chunk, subwin=subwin, up_chunk=up_chunk,
+            up_window=up_window, up_subwin=up_subwin, interpret=interpret,
+            shards=shards,
+        ),
+        feats, kernel,
+    )
+    g = g.astype(jnp.float32)
+    h = base.astype(jnp.float32) * sc[None, :] + bi[None, :]
+    if relu:
+        g = g * (h > 0)
+    dsc = jnp.sum(g * base, axis=0).astype(sc.dtype)
+    dbi = jnp.sum(g, axis=0).astype(bi.dtype)
+    df, dk = vjp((g * sc[None, :]).astype(base.dtype))
+    return (df, None, None, None, dk, None, None, None, None, None, dsc, dbi)
+
+
+_down_fused_eval_core.defvjp(_down_fused_eval_fwd, _down_fused_eval_bwd)
+
+
 def down_gather_conv(
     feats: jnp.ndarray,
     down: jnp.ndarray,
@@ -364,6 +419,7 @@ def down_gather_conv(
     up_subwin: int = 0,
     interpret: bool = False,
     shards: int = 1,
+    epilogue=None,
 ):
     """2^3 stride-2 conv with the inverse-map (scatter-free) backward.
 
@@ -374,7 +430,32 @@ def down_gather_conv(
     (with its exact empty-chunk skip); the backward is the inverse-map one
     either way.  Falls back to plain ``gather_conv`` when maps are absent.
     ``shards > 1`` shard_maps the banded kernels over the active data mesh.
+
+    ``epilogue=(scale, bias, relu)`` is the EVAL-ONLY fused BN affine
+    (+ReLU): applied inside the banded kernel (no VJP — bypasses the
+    custom-vjp core), or as plain XLA ops on the fallback paths.
     """
+    if epilogue is not None:
+        sc, bi, relu = epilogue
+        if (up_row is not None and wsd is not None and wskd is not None
+                and subwin > 0):
+            from instancerefer_tpu.ops.precision import get_compute_dtype
+
+            cfg = (window, chunk, subwin, up_chunk, up_window, up_subwin,
+                   interpret, shards, relu,
+                   get_compute_dtype() or jnp.float32)
+            return _down_fused_eval_core(
+                cfg, feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu,
+                wsktu, sc, bi,
+            )
+        out = down_gather_conv(
+            feats, down, up_row, up_k, kernel, wsd, wskd, up8, wsu, wsktu,
+            window=window, chunk=chunk, subwin=subwin, up_chunk=up_chunk,
+            up_window=up_window, up_subwin=up_subwin, interpret=interpret,
+            shards=shards,
+        )
+        out = out * sc[None, :] + bi[None, :]
+        return jnp.maximum(out, 0.0) if relu else out
     if up_row is None or up_k is None:
         return gather_conv(feats, down, kernel)
     if wsd is not None and wskd is not None and subwin > 0:
