@@ -194,3 +194,48 @@ def test_window_starts_alignment(rng):
     assert (ws % 16 == 0).all()
     assert (ws >= 0).all()
     assert (ws <= len(nbr) - 512).all()
+
+
+def test_fused_eval_epilogue_matches_unfused(rng):
+    """banded_subm_conv_eval (folded BN affine + ReLU inside the kernel) must
+    match conv -> affine -> relu on live rows, in value AND in gradients
+    (the recompute VJP), including d/dscale and d/dbias."""
+    import jax
+
+    from instancerefer_tpu.ops.pallas_conv import (
+        banded_subm_conv,
+        banded_subm_conv_eval,
+    )
+
+    nbr = _build_case(rng)
+    v = len(nbr)
+    c = 16
+    feats = rng.normal(size=(v, c)).astype(np.float32)
+    kernel = (rng.normal(size=(27, c, c)) * 0.1).astype(np.float32)
+    sc = rng.normal(size=(c,)).astype(np.float32)
+    bi = rng.normal(size=(c,)).astype(np.float32)
+    cot = rng.normal(size=(v, c)).astype(np.float32)
+    live = (nbr[:, 13] >= 0).astype(np.float32)[:, None]  # padding rows differ
+    chunk, window, subwin = 128, 512, 256
+    ws, wsk_t = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    jn, jws, jwsk = map(jnp.asarray, (nbr, ws, wsk_t))
+    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=True)
+
+    def ref_fn(f, k, s, b):
+        out = banded_subm_conv(f, jn, k, jws, jwsk, **kw)
+        return jnp.sum(
+            jnp.maximum(out * s[None, :] + b[None, :], 0.0) * cot * live
+        )
+
+    def fused_fn(f, k, s, b):
+        out = banded_subm_conv_eval(
+            f, jn, k, jws, jwsk, scale=s, bias=b, relu=True, **kw
+        )
+        return jnp.sum(out * cot * live)
+
+    args = tuple(map(jnp.asarray, (feats, kernel, sc, bi)))
+    v_ref, g_ref = jax.value_and_grad(ref_fn, argnums=(0, 1, 2, 3))(*args)
+    v_got, g_got = jax.value_and_grad(fused_fn, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
