@@ -209,7 +209,7 @@ class SubMConv3(nn.Module):
     @nn.compact
     def __call__(
         self, feats: jnp.ndarray, sv: SparseStage, use_pallas: bool = False,
-        epilogue=None,
+        epilogue=None, grad_input: bool = True,
     ) -> jnp.ndarray:
         cin = self.in_features if self.in_features is not None else feats.shape[-1]
         kernel = self.param("kernel", _conv_init(27, cin), (27, cin, self.features))
@@ -236,7 +236,7 @@ class SubMConv3(nn.Module):
                 )
             out = banded_subm_conv(
                 cast_in(feats), sv.nbr3, cast_in(kernel_p), sv.ws3, sv.wsk3,
-                **kw,
+                grad_input=grad_input, **kw,
             )
         else:
             # custom VJP: backward is a mirrored-offset gather, not XLA's
@@ -287,6 +287,10 @@ class BasicConvolutionBlock(nn.Module):
     ks: int = 3  # 3 => submanifold stride 1; 2 => stride-2 downsample
     in_features: Optional[int] = None
 
+    # grad_input=False (module attr): the conv input is an autodiff leaf —
+    # the encoders set it on their stems so the banded backward skips dX
+    grad_input: bool = True
+
     @nn.compact
     def __call__(self, feats, sv: SparseStage, *, train: bool, bn_momentum: float = 0.1):
         if self.ks == 3:
@@ -306,7 +310,7 @@ class BasicConvolutionBlock(nn.Module):
         if self.ks == 3:
             # banded Pallas whenever the batch carries window metadata — the
             # custom banded VJP makes it valid for training too
-            x = conv(feats, sv, use_pallas=True)
+            x = conv(feats, sv, use_pallas=True, grad_input=self.grad_input)
         else:
             x = conv(feats, sv)
         x = bn(x, sv.mask, train=train, momentum=bn_momentum)
@@ -359,10 +363,13 @@ class SparseConvEncoder(nn.Module):
         # activations run lane-padded through the whole encoder (one pad
         # here instead of a pad + slice round-trip per conv); param shapes
         # stay at the real widths via in_features
-        x = pad_lanes(feats)
-        x = BasicConvolutionBlock(w[0], ks=3, in_features=cin, name="stem")(
-            x, pyramid[0], train=train, bn_momentum=bn_momentum
-        )
+        # the stem input is raw point features — an autodiff leaf.  The
+        # stop_gradient makes that a graph invariant, and grad_input=False
+        # lets the banded backward skip its (discarded) dX entirely.
+        x = jax.lax.stop_gradient(pad_lanes(feats))
+        x = BasicConvolutionBlock(
+            w[0], ks=3, in_features=cin, grad_input=False, name="stem"
+        )(x, pyramid[0], train=train, bn_momentum=bn_momentum)
         for i in range(1, 5):
             x = BasicConvolutionBlock(
                 w[i], ks=2, in_features=w[i - 1], name=f"stage{i}_down"

@@ -756,6 +756,55 @@ def _banded_bwd(
 _banded_core.defvjp(_banded_fwd, _banded_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _banded_core_dwonly(
+    window, chunk, subwin, interpret, shards, center_k, out_dtype,
+    feats, nbr, kernel, ws, wsk,
+):
+    return sharded_gather_conv(
+        feats, nbr, kernel, ws, wsk,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret, center_k=center_k, out_dtype=out_dtype,
+    )
+
+
+def _banded_dwonly_fwd(
+    window, chunk, subwin, interpret, shards, center_k, out_dtype,
+    feats, nbr, kernel, ws, wsk,
+):
+    out = sharded_gather_conv(
+        feats, nbr, kernel, ws, wsk,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret, center_k=center_k, out_dtype=out_dtype,
+    )
+    return out, (feats, nbr, kernel, ws, wsk)
+
+
+def _banded_dwonly_bwd(
+    window, chunk, subwin, interpret, shards, center_k, out_dtype, res, g
+):
+    """dW-only backward for stem convs whose INPUT is a leaf (raw point
+    features): the fused dX+dW kernel would spend chunk x C x C MACs per
+    offset producing a dX that autodiff immediately discards — and being one
+    monolithic pallas_call, XLA cannot DCE it.  dW[k] = sum_v x[nbr(v,k)]^T
+    g[v] is exactly the down-conv dW kernel over the forward's own band
+    metadata; dX returns symbolic zeros (callers assert the input is a
+    stop_gradient leaf)."""
+    feats, nbr, kernel, ws, wsk = res
+    from instancerefer_tpu.ops.precision import cast_in
+
+    gc = cast_in(g.astype(jnp.float32))
+    dw = sharded_conv_dw(
+        cast_in(feats), nbr, gc, ws, wsk,
+        window=window, chunk=chunk, subwin=subwin, shards=shards,
+        interpret=interpret,
+    )[:, : kernel.shape[1], : kernel.shape[2]].astype(kernel.dtype)
+    return jnp.zeros_like(feats), None, dw, None, None
+
+
+_banded_core_dwonly.defvjp(_banded_dwonly_fwd, _banded_dwonly_bwd)
+
+
 def banded_subm_conv(
     feats: jnp.ndarray,
     nbr: jnp.ndarray,
@@ -768,8 +817,14 @@ def banded_subm_conv(
     subwin: int,
     interpret: bool = False,
     shards: int = 1,
+    grad_input: bool = True,
 ) -> jnp.ndarray:
     """Differentiable banded 3^3 submanifold conv (train + eval path).
+
+    ``grad_input=False`` selects a dW-only backward (dX returned as zeros):
+    valid ONLY when the conv input is an autodiff leaf (the encoders' stems,
+    fed by raw point features) — it skips the fused backward's dX GEMMs and
+    output entirely.
 
     Requires a symmetric-offset same-coordinate map (``nbr3``) with banded
     window metadata from ``ops/voxelize.compute_offset_window_starts``
@@ -787,7 +842,8 @@ def banded_subm_conv(
     from instancerefer_tpu.ops.precision import get_compute_dtype
 
     out_dtype = get_compute_dtype() or jnp.float32
-    return _banded_core(
+    core = _banded_core if grad_input else _banded_core_dwonly
+    return core(
         window, chunk, subwin, interpret, shards, center_k, out_dtype,
         feats, nbr, kernel, ws, wsk,
     )

@@ -239,3 +239,34 @@ def test_fused_eval_epilogue_matches_unfused(rng):
     np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
     for a, b_ in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_dwonly_backward_matches_fused(rng):
+    """grad_input=False (stem fast path) must produce the identical dW while
+    returning zero dX — valid because the stems' inputs are autodiff leaves."""
+    import jax
+
+    from instancerefer_tpu.ops.pallas_conv import banded_subm_conv
+
+    nbr = _build_case(rng)
+    v = len(nbr)
+    c = 16
+    feats = rng.normal(size=(v, c)).astype(np.float32)
+    kernel = (rng.normal(size=(27, c, c)) * 0.1).astype(np.float32)
+    cot = rng.normal(size=(v, c)).astype(np.float32)
+    chunk, window, subwin = 128, 512, 256
+    ws, wsk_t = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    jn, jws, jwsk, jc = map(jnp.asarray, (nbr, ws, wsk_t, cot))
+    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=True)
+
+    def loss(f, k, gi):
+        return jnp.sum(
+            banded_subm_conv(f, jn, k, jws, jwsk, grad_input=gi, **kw) * jc
+        )
+
+    args = (jnp.asarray(feats), jnp.asarray(kernel))
+    gf_ref, gk_ref = jax.grad(loss, argnums=(0, 1))(*args, True)
+    gf, gk = jax.grad(loss, argnums=(0, 1))(*args, False)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(gf) == 0.0)
+    assert np.any(np.asarray(gf_ref) != 0.0)
