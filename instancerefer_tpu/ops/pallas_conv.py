@@ -692,9 +692,9 @@ def sharded_conv_dw(
     )(feats, nbr, g, ws, wskt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _banded_core(
-    window, chunk, subwin, interpret, shards, center_k, out_dtype,
+    window, chunk, subwin, interpret, shards, center_k, out_dtype, grad_input,
     feats, nbr, kernel, ws, wsk,
 ):
     return sharded_gather_conv(
@@ -705,7 +705,7 @@ def _banded_core(
 
 
 def _banded_fwd(
-    window, chunk, subwin, interpret, shards, center_k, out_dtype,
+    window, chunk, subwin, interpret, shards, center_k, out_dtype, grad_input,
     feats, nbr, kernel, ws, wsk,
 ):
     out = sharded_gather_conv(
@@ -717,14 +717,24 @@ def _banded_fwd(
 
 
 def _banded_bwd(
-    window, chunk, subwin, interpret, shards, center_k, out_dtype, res, g
+    window, chunk, subwin, interpret, shards, center_k, out_dtype, grad_input,
+    res, g,
 ):
     """Banded backward for the symmetric submanifold conv.
 
-    The fused kernel gathers g once per offset via the mirrored-offset
-    identity (nbr(i,k)=j <=> nbr(j,26-k)=i, see ops/sparse._subm_conv_bwd)
-    and emits both dX and dW — the band metadata applies unchanged because
-    the access pattern is identical to the forward's.
+    ``grad_input=True`` (the default): the fused kernel gathers g once per
+    offset via the mirrored-offset identity (nbr(i,k)=j <=> nbr(j,26-k)=i,
+    see ops/sparse._subm_conv_bwd) and emits both dX and dW — the band
+    metadata applies unchanged because the access pattern is identical to
+    the forward's.
+
+    ``grad_input=False`` (stem convs whose INPUT is a leaf — raw point
+    features): the fused kernel would spend chunk x C x C MACs per offset
+    producing a dX that autodiff immediately discards, and being one
+    monolithic pallas_call, XLA cannot DCE it.  dW[k] = sum_v x[nbr(v,k)]^T
+    g[v] is exactly the down-conv dW kernel over the forward's own band
+    metadata; dX returns zeros (callers assert the input is a
+    stop_gradient leaf).
 
     Exactness caveat: these gradients equal the dense conv's exactly iff
     BOTH the forward bands and the mirrored backward bands drop nothing —
@@ -739,6 +749,13 @@ def _banded_bwd(
     from instancerefer_tpu.ops.precision import cast_in
 
     gc = cast_in(g.astype(jnp.float32))
+    if not grad_input:
+        dw = sharded_conv_dw(
+            cast_in(feats), nbr, gc, ws, wsk,
+            window=window, chunk=chunk, subwin=subwin, shards=shards,
+            interpret=interpret,
+        )[:, : kernel.shape[1], : kernel.shape[2]].astype(kernel.dtype)
+        return jnp.zeros_like(feats), None, dw, None, None
     w_t = jnp.transpose(cast_in(kernel)[::-1], (0, 2, 1))  # w_t[k] = W[K-1-k]^T
     # the mirrored center offset is the center itself (K-1-c == c for the
     # odd symmetric 3^3 map), so the fast path carries over unchanged
@@ -754,55 +771,6 @@ def _banded_bwd(
 
 
 _banded_core.defvjp(_banded_fwd, _banded_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
-def _banded_core_dwonly(
-    window, chunk, subwin, interpret, shards, center_k, out_dtype,
-    feats, nbr, kernel, ws, wsk,
-):
-    return sharded_gather_conv(
-        feats, nbr, kernel, ws, wsk,
-        window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret, center_k=center_k, out_dtype=out_dtype,
-    )
-
-
-def _banded_dwonly_fwd(
-    window, chunk, subwin, interpret, shards, center_k, out_dtype,
-    feats, nbr, kernel, ws, wsk,
-):
-    out = sharded_gather_conv(
-        feats, nbr, kernel, ws, wsk,
-        window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret, center_k=center_k, out_dtype=out_dtype,
-    )
-    return out, (feats, nbr, kernel, ws, wsk)
-
-
-def _banded_dwonly_bwd(
-    window, chunk, subwin, interpret, shards, center_k, out_dtype, res, g
-):
-    """dW-only backward for stem convs whose INPUT is a leaf (raw point
-    features): the fused dX+dW kernel would spend chunk x C x C MACs per
-    offset producing a dX that autodiff immediately discards — and being one
-    monolithic pallas_call, XLA cannot DCE it.  dW[k] = sum_v x[nbr(v,k)]^T
-    g[v] is exactly the down-conv dW kernel over the forward's own band
-    metadata; dX returns symbolic zeros (callers assert the input is a
-    stop_gradient leaf)."""
-    feats, nbr, kernel, ws, wsk = res
-    from instancerefer_tpu.ops.precision import cast_in
-
-    gc = cast_in(g.astype(jnp.float32))
-    dw = sharded_conv_dw(
-        cast_in(feats), nbr, gc, ws, wsk,
-        window=window, chunk=chunk, subwin=subwin, shards=shards,
-        interpret=interpret,
-    )[:, : kernel.shape[1], : kernel.shape[2]].astype(kernel.dtype)
-    return jnp.zeros_like(feats), None, dw, None, None
-
-
-_banded_core_dwonly.defvjp(_banded_dwonly_fwd, _banded_dwonly_bwd)
 
 
 def banded_subm_conv(
@@ -842,10 +810,9 @@ def banded_subm_conv(
     from instancerefer_tpu.ops.precision import get_compute_dtype
 
     out_dtype = get_compute_dtype() or jnp.float32
-    core = _banded_core if grad_input else _banded_core_dwonly
-    return core(
+    return _banded_core(
         window, chunk, subwin, interpret, shards, center_k, out_dtype,
-        feats, nbr, kernel, ws, wsk,
+        grad_input, feats, nbr, kernel, ws, wsk,
     )
 
 
@@ -880,6 +847,11 @@ def _fused_eval_bwd(cfg, res, g):
         feats, kernel,
     )
     g = g.astype(jnp.float32)
+    # rows of fully-empty chunks are identically 0 in the fused primal (the
+    # kernel skips them); zero their cotangent so dbi/dsc match the fused
+    # function, not the unfused relu(bias') padding values
+    live = jnp.broadcast_to((ws >= 0)[:, None], (ws.shape[0], chunk))
+    g = g * live.reshape(-1)[:, None]
     h = base.astype(jnp.float32) * sc[None, :] + bi[None, :]
     if relu:
         g = g * (h > 0)

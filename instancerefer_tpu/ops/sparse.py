@@ -387,6 +387,11 @@ def _down_fused_eval_bwd(cfg, res, g):
         feats, kernel,
     )
     g = g.astype(jnp.float32)
+    if wsd is not None:
+        # fully-empty chunks are skipped (exact zeros) in the fused primal —
+        # zero their cotangent so dbi/dsc match the fused function
+        live = jnp.broadcast_to((wsd >= 0)[:, None], (wsd.shape[0], chunk))
+        g = g * live.reshape(-1)[:, None]
     h = base.astype(jnp.float32) * sc[None, :] + bi[None, :]
     if relu:
         g = g * (h > 0)

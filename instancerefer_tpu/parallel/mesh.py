@@ -177,7 +177,12 @@ def host_local(x) -> np.ndarray:
     try:
         return np.asarray(jax.device_get(x))
     except RuntimeError:
-        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        # Shard.index is a tuple of slice objects (not comparable directly);
+        # order by the leading axis' start offset.
+        shards = sorted(
+            x.addressable_shards,
+            key=lambda s: (s.index[0].start or 0) if s.index else 0,
+        )
         return np.concatenate([np.asarray(s.data) for s in shards])
 
 

@@ -182,11 +182,10 @@ class Solver:
     def init_params(self, example_batch):
         # drop host-side diagnostics so the init/example structure matches
         # the batches _device_prefetch feeds (it pops these before sharding)
-        example_batch = {
-            k: v
-            for k, v in example_batch.items()
-            if k not in ("scene_band_drop", "inst_band_drop")
-        }
+        from instancerefer_tpu.data.pipeline import pop_band_diagnostics
+
+        example_batch = dict(example_batch)
+        pop_band_diagnostics(example_batch)
         batch = shard_batch(example_batch, self.mesh)
         self.rng, k1, k2 = jax.random.split(self.rng, 3)
         # jit the init: eager init compiles each op separately, which is

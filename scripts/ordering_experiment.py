@@ -38,7 +38,7 @@ def pack(c):
 
 
 def min_subwin(nbr, chunk):
-    return _cb.min_subwin(nbr, chunk)[0]
+    return _cb.min_subwin(_cb.band_extents(nbr, chunk))
 
 
 def permute_stage(stages, s, perm):

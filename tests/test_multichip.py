@@ -365,3 +365,42 @@ def test_multihost_globalize_indices_assembles_global_batch():
         else:
             got = np.concatenate([np.asarray(dd[key]) for dd in host_dds], axis=0)
             np.testing.assert_array_equal(got, np.asarray(g[key]), err_msg=key)
+
+
+def test_host_local_orders_shards_by_leading_offset():
+    """host_local's non-addressable fallback must order shards by their
+    leading-axis slice start (Shard.index is a tuple of slices — not
+    directly comparable) and concatenate this process's rows in order."""
+    import numpy as np
+
+    from instancerefer_tpu.parallel.mesh import host_local
+
+    class FakeShard:
+        def __init__(self, start, stop, data):
+            self.index = (slice(start, stop), slice(None))
+            self.data = data
+
+    class FakeArray:
+        def __init__(self):
+            rows = np.arange(8, dtype=np.float32)[:, None] * np.ones((1, 3))
+            # addressable_shards deliberately out of order
+            self.addressable_shards = [
+                FakeShard(4, 8, rows[4:8]),
+                FakeShard(0, 4, rows[0:4]),
+            ]
+            self.rows = rows
+
+    import jax
+
+    fake = FakeArray()
+    orig = jax.device_get
+
+    def raising_get(x):
+        raise RuntimeError("not fully addressable")
+
+    jax.device_get = raising_get
+    try:
+        out = host_local(fake)
+    finally:
+        jax.device_get = orig
+    np.testing.assert_array_equal(out, fake.rows)

@@ -270,3 +270,54 @@ def test_dwonly_backward_matches_fused(rng):
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), rtol=1e-4, atol=1e-4)
     assert np.all(np.asarray(gf) == 0.0)
     assert np.any(np.asarray(gf_ref) != 0.0)
+
+
+def test_fused_eval_grads_exact_on_empty_chunks(rng):
+    """The recompute VJP must be the exact VJP of the fused primal — which
+    writes 0 (not relu(bias)) on rows of fully-empty chunks — under an
+    UNMASKED cotangent: d/dbias must not accumulate from skipped rows."""
+    import jax
+
+    from instancerefer_tpu.ops.pallas_conv import (
+        banded_subm_conv,
+        banded_subm_conv_eval,
+    )
+
+    # explicit map: live rows only in chunk 0 -> chunks 1..3 fully empty
+    v, c = 512, 16
+    chunk, window, subwin = 128, 256, 128
+    nbr = np.full((v, 27), -1, np.int32)
+    nbr[:128, 13] = np.arange(128)
+    nbr[1:128, 12] = np.arange(127)
+    nbr[:127, 14] = np.arange(1, 128)
+    ws, wsk_t = V.compute_offset_window_starts(nbr, chunk, window, subwin, v)
+    assert (np.asarray(ws) < 0).any(), "fixture must contain empty chunks"
+    chunk_live = np.repeat(np.asarray(ws) >= 0, chunk).astype(np.float32)[:, None]
+
+    feats = rng.normal(size=(v, c)).astype(np.float32)
+    kernel = (rng.normal(size=(27, c, c)) * 0.1).astype(np.float32)
+    sc = rng.normal(size=(c,)).astype(np.float32)
+    bi = rng.normal(size=(c,)).astype(np.float32)
+    cot = rng.normal(size=(v, c)).astype(np.float32)  # unmasked
+    jn, jws, jwsk = map(jnp.asarray, (nbr, ws, wsk_t))
+    kw = dict(window=window, chunk=chunk, subwin=subwin, interpret=True)
+
+    def ref_fn(f, k, s, b):
+        # the fused primal == chunk_live * relu(conv * s + b) exactly
+        out = banded_subm_conv(f, jn, k, jws, jwsk, **kw)
+        return jnp.sum(
+            jnp.maximum(out * s[None, :] + b[None, :], 0.0) * chunk_live * cot
+        )
+
+    def fused_fn(f, k, s, b):
+        out = banded_subm_conv_eval(
+            f, jn, k, jws, jwsk, scale=s, bias=b, relu=True, **kw
+        )
+        return jnp.sum(out * cot)
+
+    args = tuple(map(jnp.asarray, (feats, kernel, sc, bi)))
+    v_ref, g_ref = jax.value_and_grad(ref_fn, argnums=(0, 1, 2, 3))(*args)
+    v_got, g_got = jax.value_and_grad(fused_fn, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)

@@ -209,3 +209,72 @@ def test_masked_mean(rng):
     got = masked_mean(feats, mask)
     want = np.asarray(feats)[[0, 1, 3]].mean(0)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_down_fused_eval_grads_exact_on_empty_chunks(rng):
+    """The down-conv fused eval epilogue's recompute VJP must be the exact
+    VJP of its primal, which skips fully-empty output chunks (writes 0, not
+    relu(bias)) — checked under an UNMASKED cotangent."""
+    import jax
+
+    from instancerefer_tpu.ops.sparse import down_gather_conv
+
+    rng2 = np.random.default_rng(11)
+    coords = np.unique(rng2.integers(0, 24, size=(4000, 3)).astype(np.int32), axis=0)
+    keys = V.pack_coords(coords)
+    coords = coords[np.argsort(keys)]
+    out_coords, down = V.build_downsample(coords, stride=1)
+    order = np.argsort(V.pack_coords(out_coords))
+    down = down[order]
+    chunk = 64
+    v_prev = len(coords) + ((-len(coords)) % chunk)
+    # pad the OUTPUT stage by a full extra chunk to force an empty chunk
+    v_out = down.shape[0] + ((-down.shape[0]) % chunk) + chunk
+    down = np.concatenate([down, np.full((v_out - down.shape[0], 8), -1, np.int32)])
+
+    up_row, up_k = V.invert_down(down, v_prev)
+    up8 = np.where(
+        up_k[:, None] == np.arange(8, dtype=np.int32)[None, :],
+        up_row[:, None], -1,
+    ).astype(np.int32)
+
+    window, subwin = 1024, 512
+    wsd, wskd = V.compute_offset_window_starts(down, chunk, window, subwin, v_prev)
+    assert (np.asarray(wsd) < 0).any(), "fixture must contain empty chunks"
+    chunk_live = np.repeat(np.asarray(wsd) >= 0, chunk).astype(np.float32)[:, None]
+    up_window, up_subwin = 512, 384
+    wsu, wsktu = V.compute_offset_window_starts(up8, chunk, up_window, up_subwin, v_out)
+
+    x = np.zeros((v_prev, 16), np.float32)
+    x[: len(coords)] = rng2.normal(size=(len(coords), 16))
+    x = jnp.asarray(x)
+    w = jnp.asarray((rng2.normal(size=(8, 16, 8)) * 0.1).astype(np.float32))
+    sc = jnp.asarray(rng2.normal(size=(8,)).astype(np.float32))
+    bi = jnp.asarray(rng2.normal(size=(8,)).astype(np.float32))
+    cot = jnp.asarray(rng2.normal(size=(v_out, 8)).astype(np.float32))  # unmasked
+    jd, jur, juk, jup8 = map(jnp.asarray, (down, up_row, up_k, up8))
+    jwsd, jwskd = jnp.asarray(wsd), jnp.asarray(wskd)
+    jwsu, jwsktu = jnp.asarray(wsu), jnp.asarray(wsktu)
+    kw = dict(
+        window=window, chunk=chunk, subwin=subwin, up_chunk=chunk,
+        up_window=up_window, up_subwin=up_subwin, interpret=True,
+    )
+
+    def ref_fn(x, w, s, b):
+        out = down_gather_conv(x, jd, jur, juk, w, jwsd, jwskd, jup8, jwsu,
+                               jwsktu, **kw)
+        return jnp.sum(
+            jnp.maximum(out * s[None, :] + b[None, :], 0.0)
+            * jnp.asarray(chunk_live) * cot
+        )
+
+    def fused_fn(x, w, s, b):
+        out = down_gather_conv(x, jd, jur, juk, w, jwsd, jwskd, jup8, jwsu,
+                               jwsktu, epilogue=(s, b, True), **kw)
+        return jnp.sum(out * cot)
+
+    v_ref, g_ref = jax.value_and_grad(ref_fn, argnums=(0, 1, 2, 3))(x, w, sc, bi)
+    v_got, g_got = jax.value_and_grad(fused_fn, argnums=(0, 1, 2, 3))(x, w, sc, bi)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
