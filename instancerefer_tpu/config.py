@@ -99,6 +99,10 @@ class Config:
     # inverse (up) map bands driving the banded down-conv dX
     pallas_up_window: int = 512
     pallas_up_subwin: int = 384
+    # bucketed language grid (data/pipeline.BatchSpec.lang_bucket — the
+    # pack_padded_sequence analog); 0 = fixed max_des_len grid.  Forced to 0
+    # on multi-host runs (per-host batches must agree on global shapes).
+    lang_bucket: int = 32
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"
@@ -164,6 +168,7 @@ class Config:
             pallas_down_window_inst=_seq(self.pallas_down_window_inst),
             pallas_up_window=self.pallas_up_window,
             pallas_up_subwin=self.pallas_up_subwin,
+            lang_bucket=self.lang_bucket,
             data_shards=data_shards,
         )
 

@@ -33,6 +33,16 @@ class BatchSpec:
     """Static capacities of a padded batch (all shapes derive from these)."""
 
     max_tokens: int = 126  # CONF.TRAIN.MAX_DES_LEN (lib/config.py:74)
+    # TPU-native analog of the reference's pack_padded_sequence (cuDNN
+    # processes only the packed tokens, lib/../models/lang_module.py:53-57):
+    # collate rounds the batch's language grid up to the smallest multiple of
+    # lang_bucket covering the batch max length (capped at max_tokens), so
+    # the GRU scan runs ~max(lang_len) steps instead of always max_tokens.
+    # Static-shape cost: one jit recompile per distinct bucket (at most
+    # max_tokens/lang_bucket programs, served by the persistent compile
+    # cache).  0 disables (fixed max_tokens grid — required for multi-host
+    # runs, where per-host batches must agree on every global shape).
+    lang_bucket: int = 0
     max_instances: int = 128  # MAX_NUM_OBJ (lib/dataset.py:21)
     max_candidates: int = 16
     num_stages: int = 5
@@ -440,6 +450,17 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
     plain = [k for k in samples[0] if k not in pyramid_keys]
     for k in plain:
         out[k] = np.stack([s[k] for s in samples])
+
+    if spec.lang_bucket and "lang_feat" in out:
+        # bucketed language grid (see BatchSpec.lang_bucket): GRU outputs
+        # past each sample's length are zeros either way, so slicing the
+        # grid to the batch's bucket is exact
+        tmax = max(int(out["lang_len"].max()), 1)
+        t_b = min(
+            spec.max_tokens,
+            -(-tmax // spec.lang_bucket) * spec.lang_bucket,
+        )
+        out["lang_feat"] = np.ascontiguousarray(out["lang_feat"][:, :t_b])
 
     def cat_off(key, off_per_sample, signed=True, axis=0):
         """Concatenate samples' ``key`` arrays, adding ``bi * off`` to the

@@ -9,6 +9,7 @@ the input-channel arithmetic (``:74-75``), pretrained/checkpoint restore
 Solver-driven epoch loop.
 """
 
+import dataclasses
 import json
 import os
 import shutil
@@ -99,6 +100,10 @@ def train(cfg: Config):
     assert cfg.batch_size % pc == 0, (
         f"batch_size {cfg.batch_size} must divide over {pc} hosts"
     )
+    if pc > 1 and spec.lang_bucket:
+        # per-host batches must agree on every global shape; a per-batch
+        # language bucket would desynchronize the hosts' compiled programs
+        spec = dataclasses.replace(spec, lang_bucket=0)
     local_bs = cfg.batch_size // pc
     host = dict(process_index=jax.process_index(), process_count=pc)
     loaders = {

@@ -387,3 +387,56 @@ def test_calibrate_bands_helpers(rng):
     assert subm[("scene", 0)] >= 64
     assert down[("scene", 1)] >= 64
     assert up[("scene", 1)] >= 32  # 2:1 compression halves the up span
+
+
+def test_lang_bucket_slices_grid_and_preserves_lang_outputs(rng):
+    """lang_bucket rounds the collated language grid to the batch max length
+    (bucketed), and the lang module's pooled outputs are identical to the
+    full-grid run — the TPU analog of the reference's pack_padded_sequence
+    (reference models/lang_module.py:53-57)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from instancerefer_tpu.models.lang_module import LangModule
+
+    spec_b = dataclasses.replace(TEST_SPEC, lang_bucket=8)
+    cores = [make_core_sample(rng, scan_idx=i) for i in range(2)]
+    full = collate([pad_sample(c, TEST_SPEC) for c in cores], TEST_SPEC)
+    bucketed = collate([pad_sample(c, spec_b) for c in cores], spec_b)
+
+    tmax = int(full["lang_len"].max())
+    t_b = min(TEST_SPEC.max_tokens, -(-tmax // 8) * 8)
+    assert bucketed["lang_feat"].shape == (2, t_b, 300)
+    assert full["lang_feat"].shape == (2, TEST_SPEC.max_tokens, 300)
+    np.testing.assert_array_equal(
+        bucketed["lang_feat"], full["lang_feat"][:, :t_b]
+    )
+
+    model = LangModule(num_text_classes=18)
+    dd_full = {
+        "lang_feat": jnp.asarray(full["lang_feat"]),
+        "lang_len": jnp.asarray(full["lang_len"]),
+    }
+    dd_b = {
+        "lang_feat": jnp.asarray(bucketed["lang_feat"]),
+        "lang_len": jnp.asarray(bucketed["lang_len"]),
+    }
+    params = model.init(jax.random.key(0), dd_full, train=False)
+    out_full = model.apply(params, dd_full, train=False)
+    out_b = model.apply(params, dd_b, train=False)
+    for key in (
+        "lang_scores", "lang_cls_feats", "lang_attr_feats",
+        "lang_rel_feats", "lang_scene_feats",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out_b[key]), np.asarray(out_full[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
+    # the per-word outputs agree on the shared grid prefix
+    np.testing.assert_allclose(
+        np.asarray(out_b["lang_feat"]),
+        np.asarray(out_full["lang_feat"])[:, :t_b],
+        rtol=1e-5, atol=1e-5,
+    )
