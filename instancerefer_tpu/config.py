@@ -138,6 +138,19 @@ class Config:
                 data_shards = len(jax.devices()) if use_pallas else 1
             except Exception:
                 use_pallas = False
+        lang_bucket = self.lang_bucket
+        if lang_bucket:
+            # multi-host runs must agree on every global shape: a per-batch
+            # language bucket would desynchronize the hosts' compiled
+            # programs (collectives deadlock).  Enforced here so EVERY
+            # batch_spec() consumer gets the guard, not just the CLIs.
+            try:
+                import jax
+
+                if jax.process_count() > 1:
+                    lang_bucket = 0
+            except Exception:
+                pass
         return BatchSpec(
             max_tokens=self.max_des_len,
             max_instances=self.max_instances,
@@ -168,7 +181,7 @@ class Config:
             pallas_down_window_inst=_seq(self.pallas_down_window_inst),
             pallas_up_window=self.pallas_up_window,
             pallas_up_subwin=self.pallas_up_subwin,
-            lang_bucket=self.lang_bucket,
+            lang_bucket=lang_bucket,
             data_shards=data_shards,
         )
 

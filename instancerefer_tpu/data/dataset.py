@@ -492,8 +492,9 @@ class PredictedClassLoader:
         self.dataset = dataset
         self.spec = spec
         self.batch_size = batch_size
-        # predict_fn(lang_feat [B,126,300], lang_len [B]) -> [B] class ids,
-        # evaluated with the CURRENT params at each epoch start
+        # predict_fn(lang_feat [B,T,300], lang_len [B]) -> [B] class ids,
+        # evaluated with the CURRENT params at each epoch start; T is the
+        # full grid, or the chunk's lang_bucket multiple when bucketing is on
         self.predict_fn = predict_fn
         self.predict_batch = predict_batch
         self.loader_kwargs = dict(loader_kwargs)
@@ -518,6 +519,15 @@ class PredictedClassLoader:
                 pairs.append(pairs[-1])
             feats = np.stack([p[0] for p in pairs])
             lens = np.asarray([p[1] for p in pairs], np.int32)
+            if self.spec.lang_bucket:
+                # same bucketed grid as collate: the GRU scans ~max(lens)
+                # steps instead of the full grid (<= T/bucket cached programs)
+                t_b = min(
+                    feats.shape[1],
+                    -(-max(int(lens.max()), 1) // self.spec.lang_bucket)
+                    * self.spec.lang_bucket,
+                )
+                feats = np.ascontiguousarray(feats[:, :t_b])
             pred = np.asarray(self.predict_fn(feats, lens))
             for i, p in zip(idxs, pred):
                 overrides[int(i)] = int(p)

@@ -451,7 +451,7 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
     for k in plain:
         out[k] = np.stack([s[k] for s in samples])
 
-    if spec.lang_bucket and "lang_feat" in out:
+    if spec.lang_bucket and "lang_feat" in out and "lang_len" in out:
         # bucketed language grid (see BatchSpec.lang_bucket): GRU outputs
         # past each sample's length are zeros either way, so slicing the
         # grid to the batch's bucket is exact
@@ -553,7 +553,9 @@ def finalize_batch(
     samples: List[Dict[str, np.ndarray]], batch_size: int, spec: BatchSpec
 ) -> Dict[str, np.ndarray]:
     """Collate, padding a partial batch to the static ``batch_size`` by
-    repeating the last sample, so jit never sees a new shape.
+    repeating the last sample, so jit never sees a new *batch* shape.
+    (With ``spec.lang_bucket`` set, the language grid's T still varies per
+    batch by design — one cached program per bucket.)
 
     ``sample_valid`` marks the real rows, and the duplicated samples' voxel
     owners are cleared to -1 — their rows become padding, so masked

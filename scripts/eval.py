@@ -112,11 +112,7 @@ def eval_ref(cfg: Config):
         dc = ScannetDatasetConfig(
             meta_dir=os.path.join(cfg.data_root, "scannet", "meta_data")
         )
-        spec = cfg.batch_spec()
-        if jax.process_count() > 1 and spec.lang_bucket:
-            import dataclasses
-
-            spec = dataclasses.replace(spec, lang_bucket=0)
+        spec = cfg.batch_spec()  # forces lang_bucket=0 when multi-host
         dataset = ScannetReferenceDataset(
             scanrefer_val, "val",
             data_root=cfg.data_root, num_points=cfg.num_points,

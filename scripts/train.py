@@ -9,7 +9,6 @@ the input-channel arithmetic (``:74-75``), pretrained/checkpoint restore
 Solver-driven epoch loop.
 """
 
-import dataclasses
 import json
 import os
 import shutil
@@ -100,10 +99,7 @@ def train(cfg: Config):
     assert cfg.batch_size % pc == 0, (
         f"batch_size {cfg.batch_size} must divide over {pc} hosts"
     )
-    if pc > 1 and spec.lang_bucket:
-        # per-host batches must agree on every global shape; a per-batch
-        # language bucket would desynchronize the hosts' compiled programs
-        spec = dataclasses.replace(spec, lang_bucket=0)
+    # (batch_spec() already forces lang_bucket=0 when process_count > 1)
     local_bs = cfg.batch_size // pc
     host = dict(process_index=jax.process_index(), process_count=pc)
     loaders = {

@@ -440,3 +440,17 @@ def test_lang_bucket_slices_grid_and_preserves_lang_outputs(rng):
         np.asarray(out_full["lang_feat"])[:, :t_b],
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_batch_spec_forces_lang_bucket_off_multihost(monkeypatch):
+    """Config.batch_spec() must zero lang_bucket when process_count > 1 —
+    per-host batches have to agree on every global shape, and the guard
+    lives in the framework, not in each entry script."""
+    import jax
+
+    from instancerefer_tpu.config import Config
+
+    cfg = Config(lang_bucket=32)
+    assert cfg.batch_spec().lang_bucket == 32
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert cfg.batch_spec().lang_bucket == 0
