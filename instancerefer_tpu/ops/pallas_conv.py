@@ -67,8 +67,9 @@ def _conv_kernel(
     n_chunks = pl.num_programs(0)
 
     def dma(slot, chunk_idx):
-        # window starts are host-aligned to 16 rows (compute_window_starts);
-        # the hint lets Mosaic prove the sublane-tile alignment of the slice
+        # window starts are host-aligned to 16 rows (compute_window_starts /
+        # compute_offset_window_starts — the production producer); the hint
+        # lets Mosaic prove the sublane-tile alignment of the slice
         start = pl.multiple_of(ws_ref[chunk_idx], 16)
         return pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, window), :],

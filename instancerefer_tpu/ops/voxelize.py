@@ -40,6 +40,16 @@ def _load_native():
         not os.path.exists(path)
         or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(path))
     )
+    if stale and os.environ.get("IR_TPU_NO_BUILD") == "1" and os.path.exists(path):
+        # a stale .so can silently diverge from the numpy-validated semantics
+        # even at an unchanged ABI — say so instead of quietly loading it
+        import warnings
+
+        warnings.warn(
+            "IR_TPU_NO_BUILD=1: loading libirvoxelizer.so older than "
+            "voxelizer.cpp — native kernel-map semantics may be stale",
+            stacklevel=2,
+        )
     if stale and os.environ.get("IR_TPU_NO_BUILD") != "1":
         # best-effort (re)build; numpy fallback on any failure
         try:
@@ -109,31 +119,14 @@ KERNEL_OFFSETS_2 = np.array(
 )
 
 
-def _part1by2(v: np.ndarray) -> np.ndarray:
-    """Spread 14-bit ints so bits land every 3rd position (Morton helper)."""
-    v = v.astype(np.uint64) & np.uint64(0x3FFF)
-    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FF0000FF)
-    v = (v | (v << np.uint64(8))) & np.uint64(0x00F00F00F00F)
-    v = (v | (v << np.uint64(4))) & np.uint64(0x0C30C30C30C3)
-    v = (v | (v << np.uint64(2))) & np.uint64(0x249249249249)
-    return v
-
-
-def morton_key(coords: np.ndarray) -> np.ndarray:
-    """Z-order (Morton) key of int coords — the spatial sort used for the
-    windowed Pallas conv: interleaved bits give far tighter neighbor-index
-    locality than raster order, so window sizes stay small."""
-    c = coords.astype(np.int64) + _COORD_OFF
-    c = np.clip(c, 0, _COORD_MASK).astype(np.uint64)
-    return (
-        (_part1by2(c[:, 0]) << np.uint64(2))
-        | (_part1by2(c[:, 1]) << np.uint64(1))
-        | _part1by2(c[:, 2])
-    ).astype(np.int64)
-
-
 def pack_coords(coords: np.ndarray) -> np.ndarray:
-    """Pack int coords [N, 3] into sortable int64 keys.  Raises on overflow."""
+    """Pack int coords [N, 3] into sortable int64 keys.
+
+    Out-of-range coords (beyond ±8191 voxels, i.e. ±160 m at 2 cm) are
+    CLIPPED to the boundary — they alias onto boundary voxels rather than
+    raising (same policy in the C++ ``pack``; mirrors the reference hashing
+    whatever it is given).  Callers needing corrupt-input detection must
+    range-check before packing."""
     c = coords.astype(np.int64) + _COORD_OFF
     if c.size and (c.min() < 0 or c.max() > _COORD_MASK):
         # Out-of-range coords (> ±160 m at 2 cm) indicate corrupt input; clip
@@ -184,6 +177,11 @@ def compute_window_starts(
     sublane alignment).  Neighbors beyond start+window (only possible when a
     chunk's index span exceeds the window, i.e. degenerate geometry or
     capacity overflow) degrade to empty in the kernel.
+
+    Simple/test-oriented producer: production exclusively builds window
+    metadata through ``compute_offset_window_starts`` (per-offset bands,
+    ``-1`` empty-chunk markers — data/pipeline.py), which must uphold the
+    same alignment contract.
     """
     v_out = len(nbr)
     n = v_out // chunk
@@ -312,8 +310,12 @@ def invert_down(down: np.ndarray, v_prev: int):
     up_k = np.full(v_prev, -1, np.int32)
     vv, kk = np.nonzero(down >= 0)
     tgt = down[vv, kk]
-    up_row[tgt] = vv.astype(np.int32)
-    up_k[tgt] = kk.astype(np.int32)
+    # match the native guard (voxelizer.cpp ir_invert_down): refs >= v_prev
+    # are dropped, not an IndexError — both paths behave identically on
+    # (upstream-bug) out-of-range data
+    ok = tgt < v_prev
+    up_row[tgt[ok]] = vv[ok].astype(np.int32)
+    up_k[tgt[ok]] = kk[ok].astype(np.int32)
     return up_row, up_k
 
 

@@ -102,3 +102,21 @@ def test_concat_and_pad(rng):
     assert len(padded.coords) == 256
     assert (padded.owner[total0:] == -1).all()
     assert (padded.nbr3[total0:] == -1).all()
+
+
+def test_invert_down_out_of_range_refs_drop_identically():
+    """Out-of-range down refs (an upstream-bug regime) must be dropped the
+    same way by the numpy fallback and the C++ voxelizer — silently masked,
+    not an IndexError — so both deployments behave identically."""
+    down = np.array([[5, -1], [2, 7]], np.int32)  # 5 and 7 >= v_prev
+    native = V._NATIVE
+    V._NATIVE = None
+    try:
+        row_np, k_np = V.invert_down(down, 3)
+    finally:
+        V._NATIVE = native
+    assert row_np.tolist() == [-1, -1, 1] and k_np.tolist() == [-1, -1, 0]
+    if native is not None:
+        row_nat, k_nat = V.invert_down(down, 3)
+        np.testing.assert_array_equal(row_nat, row_np)
+        np.testing.assert_array_equal(k_nat, k_np)
