@@ -22,9 +22,11 @@ Expected on-disk layout (identical to the reference's, ``lib/config.py:49-63``):
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 import pickle
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -91,6 +93,7 @@ class ScannetReferenceDataset:
         seed: int = 42,
         dc: Optional[ScannetDatasetConfig] = None,
         allow_missing_tsv: bool = False,
+        scene_cache_size: int = 128,
     ):
         self.scanrefer = scanrefer
         self.split = split
@@ -125,8 +128,18 @@ class ScannetReferenceDataset:
         glove_path = os.path.join(data_root, "glove.p")
         with open(glove_path, "rb") as f:
             self.glove = pickle.load(f)
-        self._scene_cache: Dict[str, tuple] = {}
+        # LRU over the four per-scene .npy loads: ScanRefer averages ~65
+        # annotations per scene, so uncached epochs re-read each scene's
+        # arrays ~65 times.  Thread-safe (PaddedLoader builds samples from a
+        # thread pool); callers never mutate the returned arrays before
+        # copying (views are rebound by random_sampling/concatenate).
+        self._scene_cache: "collections.OrderedDict[str, tuple]" = (
+            collections.OrderedDict()
+        )
+        self._scene_cache_max = scene_cache_size
+        self._cache_lock = threading.Lock()
         self._multiview = None
+        self._mv_lock = threading.Lock()
 
     def __len__(self):
         return len(self.scanrefer)
@@ -159,22 +172,37 @@ class ScannetReferenceDataset:
 
     # ------------------------------------------------------------------- build
     def _load_scene(self, scene_id: str):
+        with self._cache_lock:
+            hit = self._scene_cache.get(scene_id)
+            if hit is not None:
+                self._scene_cache.move_to_end(scene_id)
+                return hit
         base = os.path.join(self.scannet_data, scene_id)
         verts = np.load(base + "_aligned_vert.npy")
         ins = np.load(base + "_ins_label_pg.npy")
         sem = np.load(base + "_sem_label_pg.npy")
         bboxes = np.load(base + "_aligned_bbox.npy")
-        return verts, ins, sem, bboxes
+        out = (verts, ins, sem, bboxes)
+        if self._scene_cache_max > 0:
+            with self._cache_lock:
+                self._scene_cache[scene_id] = out
+                self._scene_cache.move_to_end(scene_id)
+                while len(self._scene_cache) > self._scene_cache_max:
+                    self._scene_cache.popitem(last=False)
+        return out
 
     def _multiview_feats(self, scene_id):
         import h5py
 
-        if self._multiview is None:
-            self._multiview = h5py.File(
-                os.path.join(self.data_root, "enet_feats_maxpool.hdf5"),
-                "r", libver="latest", swmr=True,
-            )
-        return np.array(self._multiview[scene_id])
+        # one handle, reads serialized: h5py/HDF5 (non-threadsafe build) must
+        # not be entered from several loader threads concurrently
+        with self._mv_lock:
+            if self._multiview is None:
+                self._multiview = h5py.File(
+                    os.path.join(self.data_root, "enet_feats_maxpool.hdf5"),
+                    "r", libver="latest", swmr=True,
+                )
+            return np.array(self._multiview[scene_id])
 
     def get_lang(self, idx: int):
         """Language-only assembly (lang_feat [T,300], lang_len) — the cheap
@@ -190,6 +218,12 @@ class ScannetReferenceDataset:
             if token.isspace():
                 continue
             emb[t] = self.glove.get(token, self.glove["unk"])
+        # NOTE deliberate reference parity, not a bug: embeddings stay at
+        # their ORIGINAL token positions while lang_len counts only
+        # non-whitespace tokens (lib/dataset.py:76-92) — so when a whitespace
+        # token precedes the last real token, the trailing tokens fall past
+        # the length mask, exactly as the reference's pack_padded_sequence
+        # drops them.
         lang_len = min(len([t for t in tokens if not t.isspace()]), max_len)
         return emb, lang_len
 
@@ -439,11 +473,25 @@ class PaddedLoader:
                 # Thread pool, not fork: the heavy sample-build work (C++
                 # voxelizer via ctypes, numpy sort/searchsorted) releases the
                 # GIL, and fork after JAX initialization deadlocks (JAX is
-                # multithreaded).
+                # multithreaded).  Submission is windowed for backpressure:
+                # Executor.map would enqueue the whole epoch upfront, so a
+                # stalled consumer (e.g. the first step's XLA compile) lets
+                # finished padded samples (~MBs each) pile up unboundedly.
                 from concurrent.futures import ThreadPoolExecutor
 
+                window = self.num_workers * 4
+                pending = collections.deque()
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    yield from pool.map(self._build_one, tasks, chunksize=2)
+                    try:
+                        for t in tasks:
+                            pending.append(pool.submit(self._build_one, t))
+                            if len(pending) >= window:
+                                yield pending.popleft().result()
+                        while pending:
+                            yield pending.popleft().result()
+                    finally:
+                        for f in pending:
+                            f.cancel()
             else:
                 for t in tasks:
                     yield self._build_one(t)

@@ -259,8 +259,20 @@ def pad_sample(
     # ---- candidates: instances whose class == filter class (GT object class
     # under use_gt_lang=True; the language prediction otherwise)
     fclass = core.object_cat if core.filter_class is None else core.filter_class
-    cand_idx = [i for i in range(k) if inst_class[i] == fclass][:cmax]
+    matching = [i for i in range(k) if inst_class[i] == fclass]
+    # matching instances beyond the max_instances cap are also candidate drops
+    total_match = len(matching) + sum(
+        1 for c in core.instance_class[k:] if int(c) == fclass
+    )
+    cand_idx = matching[:cmax]
     num_cand = len(cand_idx)
+    # candidate-capacity overflow: the reference keeps EVERY filtered
+    # candidate (models/attribute_module.py:42-81); a truncation here can
+    # drop the GT instance and silently cost accuracy, so it is surfaced
+    # through the same epoch-wide warning channel as the voxel caps
+    out["cand_overflow"] = np.float32(
+        max(0, total_match - num_cand) / max(total_match, 1)
+    )
     cand_mask = np.zeros(cmax, bool)
     cand_mask[:num_cand] = True
     cand_slot = np.zeros(cmax, np.int32)
@@ -444,7 +456,6 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
         k
         for k in samples[0]
         if k.startswith(("scene_", "inst_"))
-        and k != "instance_mask"
         and not k.endswith(("_overflow", "_band_dropped", "_band_total", "_band_geom"))
     }
     plain = [k for k in samples[0] if k not in pyramid_keys]

@@ -23,9 +23,12 @@ host<->device at least five times per iteration (SURVEY.md §3.2).
 
 from __future__ import annotations
 
+import collections
+import contextlib
 import functools
 import json
 import os
+import signal
 import time
 from typing import Any, Dict, Iterable, Optional
 
@@ -34,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from instancerefer_tpu.parallel.mesh import make_mesh, shard_batch
+from instancerefer_tpu.data.pipeline import pop_band_diagnostics
+from instancerefer_tpu.parallel.mesh import host_local, make_mesh, shard_batch
 from instancerefer_tpu.train.evaluate import get_eval
 from instancerefer_tpu.train.losses import get_loss
 from instancerefer_tpu.utils.eta import decode_eta
@@ -79,6 +83,32 @@ BEST_REPORT_TEMPLATE = """
 """
 
 METRIC_KEYS = ("loss", "ref_loss", "lang_loss", "seg_loss", "lang_acc", "ref_acc", "seg_acc")
+
+
+@contextlib.contextmanager
+def _defer_interrupt():
+    """Defer Ctrl-C around the donating train-step dispatch.
+
+    The jitted train step donates the params/batch_stats/opt_state buffers, so
+    dispatch invalidates ``self.state``'s old arrays immediately; a
+    KeyboardInterrupt landing between the dispatch and ``self.state.update``
+    would leave the solver holding deleted arrays and crash the
+    interrupt-save in ``_finish`` (the one resilience feature the reference
+    ships, lib/solver.py:174-177).  Deferring SIGINT across those two lines
+    closes the race; the pending interrupt re-raises on exit."""
+    try:
+        pending = []
+        prev = signal.signal(signal.SIGINT, lambda s, f: pending.append(1))
+    except ValueError:
+        # not the main thread: SIGINT cannot be delivered here anyway
+        yield
+        return
+    try:
+        yield
+    finally:
+        signal.signal(signal.SIGINT, prev)
+        if pending:
+            raise KeyboardInterrupt
 
 
 def make_optimizer(lr: float, wd: float, lr_decay_step, lr_decay_rate, steps_per_epoch: int):
@@ -166,13 +196,15 @@ class Solver:
 
         self.best = {
             "epoch": 0, "loss": float("inf"), "ref_loss": float("inf"),
-            "lang_loss": float("inf"), "lang_acc": -float("inf"),
-            "ref_acc": -float("inf"), "seg_acc": -float("inf"),
+            "lang_loss": float("inf"), "seg_loss": float("inf"),
+            "lang_acc": -float("inf"), "ref_acc": -float("inf"),
+            "seg_acc": -float("inf"),
             "iou_rate_0.25": -float("inf"), "iou_rate_0.5": -float("inf"),
         }
         self.state: Optional[Dict[str, Any]] = None
         self._global_iter_id = 0
         self._total_iter = {"train": 0, "val": 0}
+        self._iters_per_epoch = 1
         self._val_len = 0
         self._train_step = None
         self._eval_step = None
@@ -261,7 +293,11 @@ class Solver:
         self.epoch = epoch
         self.verbose = verbose
         self._total_iter["train"] = len(dataloader["train"]) * epoch
-        self._total_iter["val"] = len(dataloader["val"]) * self.val_step
+        self._iters_per_epoch = max(len(dataloader["train"]), 1)
+        # validation runs once per epoch from epoch start_val on
+        self._total_iter["val"] = len(dataloader["val"]) * max(
+            epoch - max(self.start_val - 1, 0), 0
+        )
         self._val_len = len(dataloader["val"])  # for the ETA's val term
 
         # resume: continue epoch numbering from a restored checkpoint so the
@@ -298,8 +334,6 @@ class Solver:
         capacity-overflow fractions — read here, while the leaves are still
         host numpy, so the bookkeeping never forces a device sync.
         """
-        import collections
-
         queue = collections.deque()
         it = iter(loader)
         while True:
@@ -308,16 +342,20 @@ class Solver:
                     nxt = next(it)
                 except StopIteration:
                     break
-                if overflow_log is not None and "scene_overflow" in nxt:
-                    so = np.asarray(nxt["scene_overflow"])
-                    io_ = np.asarray(nxt["inst_overflow"])
-                    if isinstance(so, np.ndarray):  # still host-side
-                        overflow_log["scene"].append(float(so.mean()))
-                        overflow_log["inst"].append(float(io_.mean()))
+                # record only when the loader yields host numpy (always true
+                # for PaddedLoader); a device-resident leaf would force a
+                # sync here and defeat the prefetch overlap, so it is skipped
+                if (
+                    overflow_log is not None
+                    and isinstance(nxt.get("scene_overflow"), np.ndarray)
+                ):
+                    overflow_log["scene"].append(float(nxt["scene_overflow"].mean()))
+                    overflow_log["inst"].append(float(nxt["inst_overflow"].mean()))
+                    co = nxt.get("cand_overflow")
+                    if isinstance(co, np.ndarray):
+                        overflow_log.setdefault("cand", []).append(float(co.mean()))
                 # banded-conv neighbor drops: batch-level host scalars; popped
                 # (not fed) through the shared helper
-                from instancerefer_tpu.data.pipeline import pop_band_diagnostics
-
                 bd = pop_band_diagnostics(nxt)
                 if overflow_log is not None and bd:
                     overflow_log.setdefault("band", []).append(max(bd.values()))
@@ -342,6 +380,15 @@ class Solver:
                 f"{io_:.1%} / max {io_max:.1%}) — raise scene_caps/inst_caps "
                 f"in the TPU config section to avoid dropped voxels"
             )
+        cand = overflow_log.get("cand", [])
+        if cand and max(cand) > 0:
+            self._log(
+                f"WARNING: [{phase}] candidate capacity overflow over the "
+                f"epoch (mean {float(np.mean(cand)):.2%} / max "
+                f"{float(np.max(cand)):.2%} of filtered instances dropped) — "
+                f"the reference keeps every filtered candidate; raise "
+                f"max_candidates in the TPU config section"
+            )
         band = overflow_log.get("band", [])
         if band and max(band) > 0:
             self._log(
@@ -359,23 +406,24 @@ class Solver:
             start = time.time()
             if phase == "train":
                 self.rng, drop_rng = jax.random.split(self.rng)
-                params, stats, opt_state, metrics = self._train_step(
-                    self.state["params"],
-                    self.state["batch_stats"],
-                    self.state["opt_state"],
-                    batch,
-                    drop_rng,
-                    bn_momentum=bn_momentum,
-                )
-                self.state.update(params=params, batch_stats=stats, opt_state=opt_state)
+                with _defer_interrupt():
+                    params, stats, opt_state, metrics = self._train_step(
+                        self.state["params"],
+                        self.state["batch_stats"],
+                        self.state["opt_state"],
+                        batch,
+                        drop_rng,
+                        bn_momentum=bn_momentum,
+                    )
+                    self.state.update(
+                        params=params, batch_stats=stats, opt_state=opt_state
+                    )
             else:
                 metrics = self._eval_step(
                     self.state["params"], self.state["batch_stats"], batch
                 )
             # per-sample metric rows of a multi-host batch are globally
             # sharded; each host aggregates its own samples' rows
-            from instancerefer_tpu.parallel.mesh import host_local
-
             metrics = jax.tree.map(host_local, metrics)
             step_time = time.time() - start
             # forward+backward are one fused program on TPU; split the wall
@@ -411,7 +459,7 @@ class Solver:
             cur = self.log["val"]["iou_rate_0.25"]
             if cur > self.best["iou_rate_0.25"]:
                 self._log(f"best iou_rate_0.25 achieved: {cur}")
-                for k in ["loss", "ref_loss", "lang_loss", "seg_loss", "lang_acc", "ref_acc", "seg_acc"]:
+                for k in METRIC_KEYS:
                     self.best[k] = float(np.mean(self.log["val"][k])) if self.log["val"][k] else 0.0
                 self.best["epoch"] = epoch_id + 1
                 self.best["iou_rate_0.25"] = self.log["val"]["iou_rate_0.25"]
@@ -548,8 +596,7 @@ class Solver:
         self.log = {
             phase: {
                 "forward": [], "backward": [], "eval": [], "fetch": [], "iter_time": [],
-                "loss": [], "ref_loss": [], "lang_loss": [], "seg_loss": [],
-                "lang_acc": [], "ref_acc": [], "seg_acc": [],
+                **{k: [] for k in METRIC_KEYS},
                 "iou25_hits": 0.0, "iou5_hits": 0.0, "iou_count": 0.0,
                 "iou_rate_0.25": 0.0, "iou_rate_0.5": 0.0,
             }
@@ -563,7 +610,7 @@ class Solver:
 
     def _dump_log(self, phase):
         rec = {"iter": self._global_iter_id, "phase": phase}
-        for key in ["loss", "ref_loss", "lang_loss", "seg_loss", "lang_acc", "ref_acc", "seg_acc"]:
+        for key in METRIC_KEYS:
             vals = self.log[phase][key]
             rec[key] = float(np.mean(vals)) if vals else 0.0
         rec["iou_rate_0.25"] = self.log[phase]["iou_rate_0.25"]
@@ -584,13 +631,16 @@ class Solver:
         log = self.log["train"]
         mean_train_time = float(np.mean(log["iter_time"]))
         mean_est_val_time = float(np.mean([f + fw for f, fw in zip(log["fetch"], log["forward"])]))
-        eta_sec = (self._total_iter["train"] - self._global_iter_id - 1) * mean_train_time
-        # estimated remaining validation time (lib/solver.py:404)
-        eta_sec += (
-            self._val_len
-            * np.ceil(self._total_iter["train"] / self.val_step)
-            * mean_est_val_time
-        )
+        remaining_iters = self._total_iter["train"] - self._global_iter_id - 1
+        eta_sec = remaining_iters * mean_train_time
+        # estimated remaining validation time (lib/solver.py:404 analog): this
+        # solver validates once per epoch from epoch start_val on, so the val
+        # term counts only the validating epochs still ahead — and shrinks as
+        # training progresses (the reference's val_step formula counted a
+        # fixed total for the whole run)
+        cur_epoch = self._global_iter_id // self._iters_per_epoch
+        remaining_vals = max(self.epoch - max(cur_epoch, max(self.start_val - 1, 0)), 0)
+        eta_sec += self._val_len * remaining_vals * mean_est_val_time
         eta = decode_eta(eta_sec)
         self._log(
             ITER_REPORT_TEMPLATE.format(

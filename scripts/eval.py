@@ -37,11 +37,12 @@ def resolve_run_dir(cfg: Config) -> str:
     candidates += sorted(
         _glob.glob(os.path.join(cfg.path_output, "*", "model_last")), reverse=True
     )
-    # runs whose stamp suffix is the log_dir (train.py appends it upper-cased)
+    # runs whose stamp suffix is the log_dir (train.py names run dirs
+    # "{timestamp}_{log_dir.upper()}")
     candidates += sorted(
         _glob.glob(
             os.path.join(cfg.output_root, cfg.dataset, "*", "checkpoints",
-                         cfg.log_dir, "model_last")
+                         "*_" + cfg.log_dir.upper(), "model_last")
         ),
         reverse=True,
     )
@@ -132,6 +133,12 @@ def eval_ref(cfg: Config):
             max_candidates=cfg.max_candidates,
             use_bidir=cfg.use_bidir,
             k=cfg.k,
+            # module ablations must match training: a checkpoint trained with
+            # e.g. relation_module null has no params["relation"] subtree and
+            # the restore template must agree
+            use_attribute=bool(cfg.attribute_module),
+            use_relation=bool(cfg.relation_module),
+            use_scene=bool(cfg.scene_module),
         )
         solver = Solver(
             model, dc.mean_size_arr, stamp=stamp, output_dir=cfg.path_output,
@@ -147,8 +154,12 @@ def eval_ref(cfg: Config):
             # Two-pass eval: the reference filters candidates by
             # argmax(lang_scores) when use_gt_lang is False
             # (models/attribute_module.py:93-97).  Candidates live in the
-            # input pipeline here, so pass 1 runs just the language branch to
-            # predict classes, and pass 2 rebuilds the loader filtered by them.
+            # input pipeline here, so pass 1 runs just the language branch —
+            # through the cheap ``dataset.get_lang`` path (no scene IO, no
+            # voxelization; same machinery as train-time
+            # PredictedClassLoader._predict_overrides) — and pass 2 rebuilds
+            # the loader filtered by the predictions.
+            from instancerefer_tpu.data.dataset import PredictedClassLoader
             from instancerefer_tpu.models.lang_module import LangModule
 
             lang = LangModule(num_text_classes=cfg.num_classes,
@@ -156,20 +167,23 @@ def eval_ref(cfg: Config):
             lang_params = solver.state["params"]["lang"]
 
             @jax.jit
-            def lang_step(params, batch):
-                out = lang.apply({"params": params}, batch, train=False)
+            def _lang_step(params, lang_feat, lang_len):
+                out = lang.apply(
+                    {"params": params},
+                    {"lang_feat": lang_feat, "lang_len": lang_len},
+                    train=False,
+                )
                 return jax.numpy.argmax(out["lang_scores"], axis=1)
 
-            overrides = {}
-            for batch in loader:
-                valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
-                dd = batch_to_device_dict(batch, spec)
-                _pop_band_diagnostics(dd)
-                pred = np.asarray(jax.device_get(lang_step(lang_params, dd)))
-                idxs = np.asarray(batch["scan_idx"])
-                for i, p, v in zip(idxs, pred, valid):
-                    if v:
-                        overrides[int(i)] = int(p)
+            def predict_fn(lang_feat, lang_len):
+                return jax.device_get(_lang_step(lang_params, lang_feat, lang_len))
+
+            pcl = PredictedClassLoader(
+                dataset, spec, cfg.batch_size, predict_fn,
+                shuffle=False, num_workers=cfg.num_workers, drop_last=False,
+                voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
+            )
+            overrides = pcl._predict_overrides()
             print(f"pass 1 done: predicted classes for {len(overrides)} samples")
             loader = PaddedLoader(
                 dataset, spec, cfg.batch_size, shuffle=False,

@@ -102,15 +102,22 @@ def train(cfg: Config):
     # (batch_spec() already forces lang_bucket=0 when process_count > 1)
     local_bs = cfg.batch_size // pc
     host = dict(process_index=jax.process_index(), process_count=pc)
+    # one dataset per split (shared by the plain and predicted-class loaders:
+    # ScannetReferenceDataset.__init__ unpickles the full GloVe dict and
+    # builds the unique/multiple lookup — too heavy to construct twice)
+    datasets = {
+        "train": make_ds(scanrefer_train, "train"),
+        "val": make_ds(scanrefer_val, "val"),
+    }
     loaders = {
         "train": PaddedLoader(
-            make_ds(scanrefer_train, "train"), spec, local_bs,
+            datasets["train"], spec, local_bs,
             shuffle=True, seed=cfg.manual_seed, num_workers=cfg.num_workers,
             voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
             **host,
         ),
         "val": PaddedLoader(
-            make_ds(scanrefer_val, "val"), spec, local_bs,
+            datasets["val"], spec, local_bs,
             shuffle=False, seed=cfg.manual_seed, num_workers=cfg.num_workers,
             drop_last=False,
             voxel_size_ap=cfg.voxel_size_ap, voxel_size_glp=cfg.voxel_size_glp,
@@ -163,10 +170,18 @@ def train(cfg: Config):
         solver.load_checkpoint(cfg.pretrain)
     elif cfg.use_pretrained:
         # partial warm-start of the four submodules (scripts/train.py:83-96)
-        path = cfg.use_pretrained if isinstance(cfg.use_pretrained, str) else ""
-        if path:
-            print(f"warm-starting submodules from {path}...")
-            solver.load_pretrained_modules(os.path.join(path, "model_last"))
+        if not isinstance(cfg.use_pretrained, str):
+            # `use_pretrained: true` is a config mistake (the reference option
+            # is a run-name string); silently training from random init while
+            # the user believes they warm-started would be worse than failing
+            raise ValueError(
+                "use_pretrained must be the pretrained run's name/path "
+                f"(a string), got {cfg.use_pretrained!r}"
+            )
+        print(f"warm-starting submodules from {cfg.use_pretrained}...")
+        solver.load_pretrained_modules(
+            os.path.join(cfg.use_pretrained, "model_last")
+        )
 
     if not cfg.use_gt_lang:
         # Train-time predicted-class candidate filtering (reference
@@ -199,9 +214,7 @@ def train(cfg: Config):
             ("val", False, {"drop_last": False}),
         ):
             loaders[phase] = PredictedClassLoader(
-                make_ds(
-                    scanrefer_train if phase == "train" else scanrefer_val, phase
-                ),
+                datasets[phase],
                 spec, local_bs, predict_fn,
                 shuffle=shuffle, seed=cfg.manual_seed,
                 num_workers=cfg.num_workers,

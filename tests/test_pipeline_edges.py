@@ -46,6 +46,50 @@ def test_overflow_fractions(rng):
     assert padded2["scene_overflow"] == 0.0
 
 
+def test_candidate_overflow_diagnostic(rng):
+    """Truncation at max_candidates is surfaced as cand_overflow: the
+    reference keeps EVERY filtered candidate (models/attribute_module.py:42-81),
+    so a drop here can silently cost accuracy and must be reported through
+    the same epoch-wide warning channel as the voxel caps."""
+    core = make_core_sample(rng, num_instances=8, num_candidates=6)
+    padded = pad_sample(core, TEST_SPEC)  # max_candidates=4
+    assert padded["cand_mask"].sum() == TEST_SPEC.max_candidates
+    np.testing.assert_allclose(padded["cand_overflow"], (6 - 4) / 6)
+
+    ok = pad_sample(make_core_sample(rng, num_candidates=3), TEST_SPEC)
+    assert ok["cand_overflow"] == 0.0
+
+    # instances beyond the max_instances cap count as candidate drops too
+    many = make_core_sample(rng, num_instances=20, num_candidates=20)
+    tiny = dataclasses.replace(TEST_SPEC, max_instances=8)
+    p = pad_sample(many, tiny)
+    np.testing.assert_allclose(p["cand_overflow"], (20 - 4) / 20)
+
+    batch = collate([padded, ok], TEST_SPEC)
+    assert batch["cand_overflow"].shape == (2,)
+
+    # the solver's epoch-wide report warns on candidate overflow
+    from instancerefer_tpu.train.solver import Solver
+
+    class _Shell(Solver):
+        def __init__(self, out):
+            self._log_path = str(out / "log.txt")
+
+        def _log(self, msg):
+            with open(self._log_path, "a") as f:
+                f.write(msg + "\n")
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        s = _Shell(Path(d))
+        s._report_overflow(
+            "train", {"scene": [0.0], "inst": [0.0], "cand": [1 / 3]}
+        )
+        assert "candidate capacity overflow" in open(s._log_path).read()
+
+
 def test_collate_owner_ids(rng):
     samples = [pad_sample(make_core_sample(rng, num_candidates=2), TEST_SPEC) for _ in range(3)]
     batch = collate(samples, TEST_SPEC)
@@ -271,6 +315,43 @@ def test_checkpoint_resume_fidelity(tmp_path):
     c.load_checkpoint(str(old), with_opt=True)
     np.testing.assert_array_equal(c.state["params"]["w"], np.full(3, 2.0))
     assert c.state["epoch"] == 3  # untouched by the old-format restore
+
+
+def test_best_dict_structurally_stable(tmp_path):
+    """The best-metric update must write exactly the keys the fresh
+    ``Solver.best`` init declares: the restore template is built from a fresh
+    init, so any key added only by the update path (the round-3 ``seg_loss``
+    bug) makes every post-best checkpoint unrestorable with with_opt=True."""
+    from instancerefer_tpu.train.solver import METRIC_KEYS, Solver
+
+    class _Shell(Solver):
+        def __init__(self):
+            self.best = {
+                "epoch": 0, "loss": float("inf"), "ref_loss": float("inf"),
+                "lang_loss": float("inf"), "seg_loss": float("inf"),
+                "lang_acc": -float("inf"), "ref_acc": -float("inf"),
+                "seg_acc": -float("inf"),
+                "iou_rate_0.25": -float("inf"), "iou_rate_0.5": -float("inf"),
+            }
+
+    fresh_keys = set(_Shell().best)
+    update_keys = set(METRIC_KEYS) | {"epoch", "iou_rate_0.25", "iou_rate_0.5"}
+    assert update_keys == fresh_keys
+
+    # and the real constructor's init agrees (no drift between the shell
+    # replica above and Solver.__init__)
+    import flax.linen as nn
+
+    class _Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, d, train=False):
+            return d
+
+    s = Solver(
+        _Tiny(), np.ones((18, 3)), output_dir=str(tmp_path), stamp="t",
+        use_mesh=False,
+    )
+    assert set(s.best) == update_keys
 
 
 def test_solver_epoch_iou_counters(tmp_path):
