@@ -138,6 +138,7 @@ class ScannetReferenceDataset:
         )
         self._scene_cache_max = scene_cache_size
         self._cache_lock = threading.Lock()
+        self._inflight: Dict[str, threading.Event] = {}
         self._multiview = None
         self._mv_lock = threading.Lock()
 
@@ -172,24 +173,42 @@ class ScannetReferenceDataset:
 
     # ------------------------------------------------------------------- build
     def _load_scene(self, scene_id: str):
-        with self._cache_lock:
-            hit = self._scene_cache.get(scene_id)
-            if hit is not None:
-                self._scene_cache.move_to_end(scene_id)
-                return hit
-        base = os.path.join(self.scannet_data, scene_id)
-        verts = np.load(base + "_aligned_vert.npy")
-        ins = np.load(base + "_ins_label_pg.npy")
-        sem = np.load(base + "_sem_label_pg.npy")
-        bboxes = np.load(base + "_aligned_bbox.npy")
-        out = (verts, ins, sem, bboxes)
-        if self._scene_cache_max > 0:
+        # Misses are coalesced: annotations are grouped by scene, so at a
+        # scene boundary every worker thread misses at once — without the
+        # in-flight event the four .npy reads would be duplicated per worker
+        # on exactly the hot path the LRU exists for.
+        while True:
             with self._cache_lock:
-                self._scene_cache[scene_id] = out
-                self._scene_cache.move_to_end(scene_id)
-                while len(self._scene_cache) > self._scene_cache_max:
-                    self._scene_cache.popitem(last=False)
-        return out
+                hit = self._scene_cache.get(scene_id)
+                if hit is not None:
+                    self._scene_cache.move_to_end(scene_id)
+                    return hit
+                ev = self._inflight.get(scene_id)
+                if ev is None:
+                    ev = threading.Event()
+                    self._inflight[scene_id] = ev
+                    break  # this thread loads
+            ev.wait()  # another thread is loading; re-check the cache after
+        try:
+            base = os.path.join(self.scannet_data, scene_id)
+            verts = np.load(base + "_aligned_vert.npy")
+            ins = np.load(base + "_ins_label_pg.npy")
+            sem = np.load(base + "_sem_label_pg.npy")
+            bboxes = np.load(base + "_aligned_bbox.npy")
+            out = (verts, ins, sem, bboxes)
+            if self._scene_cache_max > 0:
+                with self._cache_lock:
+                    self._scene_cache[scene_id] = out
+                    self._scene_cache.move_to_end(scene_id)
+                    while len(self._scene_cache) > self._scene_cache_max:
+                        self._scene_cache.popitem(last=False)
+            return out
+        finally:
+            # on failure waiters re-check, miss, and become loaders (raising
+            # the same IO error themselves)
+            with self._cache_lock:
+                self._inflight.pop(scene_id, None)
+            ev.set()
 
     def _multiview_feats(self, scene_id):
         import h5py
@@ -565,17 +584,19 @@ class PredictedClassLoader:
             # predict_fn keeps one compiled shape
             while len(pairs) < self.predict_batch:
                 pairs.append(pairs[-1])
-            feats = np.stack([p[0] for p in pairs])
-            lens = np.asarray([p[1] for p in pairs], np.int32)
-            if self.spec.lang_bucket:
-                # same bucketed grid as collate: the GRU scans ~max(lens)
-                # steps instead of the full grid (<= T/bucket cached programs)
-                t_b = min(
-                    feats.shape[1],
-                    -(-max(int(lens.max()), 1) // self.spec.lang_bucket)
-                    * self.spec.lang_bucket,
-                )
-                feats = np.ascontiguousarray(feats[:, :t_b])
+            # clamp to the spec's token grid exactly as pad_sample does —
+            # get_lang returns the reference's full 126-token grid, but the
+            # checkpoint was trained on max_tokens, and predicting off a
+            # longer grid can argmax a different class
+            feats = np.stack([p[0][: self.spec.max_tokens] for p in pairs])
+            lens = np.minimum(
+                np.asarray([p[1] for p in pairs], np.int32),
+                self.spec.max_tokens,
+            )
+            # same bucketed grid as collate: the GRU scans ~max(lens)
+            # steps instead of the full grid (<= T/bucket cached programs)
+            t_b = self.spec.bucketed_tokens(int(lens.max()))
+            feats = np.ascontiguousarray(feats[:, :t_b])
             pred = np.asarray(self.predict_fn(feats, lens))
             for i, p in zip(idxs, pred):
                 overrides[int(i)] = int(p)

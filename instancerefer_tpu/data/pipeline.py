@@ -91,6 +91,20 @@ class BatchSpec:
     # run Pallas kernels in interpret mode (CPU multi-device testing/dryrun)
     pallas_interpret: bool = False
 
+    def bucketed_tokens(self, tmax: int) -> int:
+        """Language-grid length for a batch whose longest sequence is
+        ``tmax``: the smallest ``lang_bucket`` multiple covering it, capped
+        at ``max_tokens`` (the full grid when bucketing is off).  The ONE
+        source of the grid policy — ``collate`` and the predicted-class
+        passes must agree or the GRU scans a different grid than training
+        saw."""
+        if not self.lang_bucket:
+            return self.max_tokens
+        return min(
+            self.max_tokens,
+            -(-max(int(tmax), 1) // self.lang_bucket) * self.lang_bucket,
+        )
+
     @staticmethod
     def _profile(prof, stage):
         if isinstance(prof, int):
@@ -466,11 +480,7 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
         # bucketed language grid (see BatchSpec.lang_bucket): GRU outputs
         # past each sample's length are zeros either way, so slicing the
         # grid to the batch's bucket is exact
-        tmax = max(int(out["lang_len"].max()), 1)
-        t_b = min(
-            spec.max_tokens,
-            -(-tmax // spec.lang_bucket) * spec.lang_bucket,
-        )
+        t_b = spec.bucketed_tokens(int(out["lang_len"].max()))
         out["lang_feat"] = np.ascontiguousarray(out["lang_feat"][:, :t_b])
 
     def cat_off(key, off_per_sample, signed=True, axis=0):

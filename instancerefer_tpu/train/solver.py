@@ -95,7 +95,14 @@ def _defer_interrupt():
     would leave the solver holding deleted arrays and crash the
     interrupt-save in ``_finish`` (the one resilience feature the reference
     ships, lib/solver.py:174-177).  Deferring SIGINT across those two lines
-    closes the race; the pending interrupt re-raises on exit."""
+    closes the race; the pending interrupt re-raises on clean exit only — a
+    body that raised on its own keeps its real exception (an interrupt
+    swallowing e.g. an XlaRuntimeError would hide the failure AND route a
+    failed step into the interrupt-save path holding donated buffers)."""
+    if signal.getsignal(signal.SIGINT) is signal.SIG_IGN:
+        # deliberately-ignored SIGINT (nohup/setsid wrappers) stays ignored
+        yield
+        return
     try:
         pending = []
         prev = signal.signal(signal.SIGINT, lambda s, f: pending.append(1))
@@ -107,8 +114,8 @@ def _defer_interrupt():
         yield
     finally:
         signal.signal(signal.SIGINT, prev)
-        if pending:
-            raise KeyboardInterrupt
+    if pending:
+        raise KeyboardInterrupt
 
 
 def make_optimizer(lr: float, wd: float, lr_decay_step, lr_decay_rate, steps_per_epoch: int):
@@ -170,6 +177,9 @@ class Solver:
         self.bn_decay_rate = bn_decay_rate
         self.mesh = make_mesh() if use_mesh else None
         self.stamp = stamp
+        # config-parity knob only: the reference's ETA counted a fixed
+        # val_step-based total (lib/solver.py:404); this solver validates
+        # once per epoch and derives the val ETA term from epochs remaining
         self.val_step = val_step
         # reference parses TRAIN.start_val (config/InstanceRefer.yaml:57) but
         # never consumes it; here the evident intent is honored — validation
@@ -203,7 +213,7 @@ class Solver:
         }
         self.state: Optional[Dict[str, Any]] = None
         self._global_iter_id = 0
-        self._total_iter = {"train": 0, "val": 0}
+        self._total_iter = {"train": 0}
         self._iters_per_epoch = 1
         self._val_len = 0
         self._train_step = None
@@ -294,10 +304,6 @@ class Solver:
         self.verbose = verbose
         self._total_iter["train"] = len(dataloader["train"]) * epoch
         self._iters_per_epoch = max(len(dataloader["train"]), 1)
-        # validation runs once per epoch from epoch start_val on
-        self._total_iter["val"] = len(dataloader["val"]) * max(
-            epoch - max(self.start_val - 1, 0), 0
-        )
         self._val_len = len(dataloader["val"])  # for the ETA's val term
 
         # resume: continue epoch numbering from a restored checkpoint so the

@@ -192,6 +192,45 @@ def test_threaded_loader_matches_serial(fake_data_root):
             np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
 
 
+def test_scene_cache_coalesces_concurrent_misses(fake_data_root, monkeypatch):
+    """Annotations are grouped by scene, so at a scene boundary every loader
+    thread misses the LRU at once — the in-flight event must make exactly ONE
+    thread read the four .npy files while the rest wait for the cached
+    tuple."""
+    import threading
+
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    loads = []
+    real_load = np.load
+
+    def counting_load(path, *a, **k):
+        loads.append(path)
+        return real_load(path, *a, **k)
+
+    monkeypatch.setattr(np, "load", counting_load)
+    barrier = threading.Barrier(4)
+    results = []
+
+    def worker():
+        barrier.wait()
+        results.append(ds._load_scene("scene0000_00"))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(loads) == 4  # one read per file, not per thread
+    for r in results[1:]:
+        for x, y in zip(results[0], r):
+            assert x is y  # all threads share the cached arrays
+
+    # a second call is a pure cache hit
+    ds._load_scene("scene0000_00")
+    assert len(loads) == 4
+
+
 def test_multihost_loader_partitions_epoch(fake_data_root):
     """Multi-host input sharding (parallel.mesh.host_shard_indices wired into
     PaddedLoader): per-host sample sets are disjoint, their union is the
@@ -247,7 +286,13 @@ def test_predicted_class_loader_refreshes_candidates(fake_data_root):
     pred_by_epoch = {0: 4, 1: 2}
 
     def predict_fn(lang_feat, lang_len):
-        assert lang_feat.shape[1:] == (126, 300)
+        # the prediction pass must see the same token grid pad_sample gives
+        # the model (spec.max_tokens-clamped, bucketed) — NOT get_lang's raw
+        # 126-token grid: the checkpoint was trained on max_tokens, and a
+        # longer grid can argmax a different class
+        assert lang_feat.shape[1:] == (SPEC.bucketed_tokens(lang_len.max()), 300)
+        assert lang_feat.shape[1] <= SPEC.max_tokens
+        assert (lang_len <= SPEC.max_tokens).all()
         calls.append(lang_feat.shape[0])
         epoch = len([c for c in calls]) - 1
         return np.full(lang_feat.shape[0], pred_by_epoch[min(epoch, 1)], np.int64)

@@ -51,16 +51,31 @@ def test_candidate_overflow_diagnostic(rng):
     reference keeps EVERY filtered candidate (models/attribute_module.py:42-81),
     so a drop here can silently cost accuracy and must be reported through
     the same epoch-wide warning channel as the voxel caps."""
-    core = make_core_sample(rng, num_instances=8, num_candidates=6)
+    def fix_classes(core, num_candidates):
+        # make_core_sample gives non-candidate instances random classes; pin
+        # them off the target class so the expected match counts are exact
+        # regardless of the fixture seed
+        cls = [
+            core.object_cat if i < num_candidates
+            else (core.object_cat + 1 + (i % 17)) % 18
+            for i in range(len(core.instance_class))
+        ]
+        return dataclasses.replace(core, instance_class=cls)
+
+    core = fix_classes(make_core_sample(rng, num_instances=8, num_candidates=6), 6)
     padded = pad_sample(core, TEST_SPEC)  # max_candidates=4
     assert padded["cand_mask"].sum() == TEST_SPEC.max_candidates
     np.testing.assert_allclose(padded["cand_overflow"], (6 - 4) / 6)
 
-    ok = pad_sample(make_core_sample(rng, num_candidates=3), TEST_SPEC)
+    ok = pad_sample(
+        fix_classes(make_core_sample(rng, num_candidates=3), 3), TEST_SPEC
+    )
     assert ok["cand_overflow"] == 0.0
 
     # instances beyond the max_instances cap count as candidate drops too
-    many = make_core_sample(rng, num_instances=20, num_candidates=20)
+    many = fix_classes(
+        make_core_sample(rng, num_instances=20, num_candidates=20), 20
+    )
     tiny = dataclasses.replace(TEST_SPEC, max_instances=8)
     p = pad_sample(many, tiny)
     np.testing.assert_allclose(p["cand_overflow"], (20 - 4) / 20)
@@ -317,6 +332,43 @@ def test_checkpoint_resume_fidelity(tmp_path):
     assert c.state["epoch"] == 3  # untouched by the old-format restore
 
 
+def test_defer_interrupt_semantics():
+    """_defer_interrupt: a SIGINT landing inside the guarded region re-raises
+    on clean exit; a body that raised keeps its own exception (an interrupt
+    must not mask e.g. an XlaRuntimeError and route a failed step into the
+    interrupt-save path); SIG_IGN stays ignored."""
+    import os
+    import signal
+
+    import pytest
+
+    from instancerefer_tpu.train.solver import _defer_interrupt
+
+    orig = signal.getsignal(signal.SIGINT)
+
+    # deferred delivery on clean exit
+    with pytest.raises(KeyboardInterrupt):
+        with _defer_interrupt():
+            os.kill(os.getpid(), signal.SIGINT)
+    assert signal.getsignal(signal.SIGINT) is orig
+
+    # a real error from the body wins over the pending interrupt
+    with pytest.raises(ValueError, match="step failed"):
+        with _defer_interrupt():
+            os.kill(os.getpid(), signal.SIGINT)
+            raise ValueError("step failed")
+    assert signal.getsignal(signal.SIGINT) is orig
+
+    # deliberately-ignored SIGINT (nohup/setsid wrappers) stays ignored
+    prev = signal.signal(signal.SIGINT, signal.SIG_IGN)
+    try:
+        with _defer_interrupt():
+            os.kill(os.getpid(), signal.SIGINT)
+        assert signal.getsignal(signal.SIGINT) is signal.SIG_IGN
+    finally:
+        signal.signal(signal.SIGINT, prev)
+
+
 def test_best_dict_structurally_stable(tmp_path):
     """The best-metric update must write exactly the keys the fresh
     ``Solver.best`` init declares: the restore template is built from a fresh
@@ -488,7 +540,8 @@ def test_lang_bucket_slices_grid_and_preserves_lang_outputs(rng):
     bucketed = collate([pad_sample(c, spec_b) for c in cores], spec_b)
 
     tmax = int(full["lang_len"].max())
-    t_b = min(TEST_SPEC.max_tokens, -(-tmax // 8) * 8)
+    t_b = spec_b.bucketed_tokens(tmax)
+    assert t_b == min(TEST_SPEC.max_tokens, -(-tmax // 8) * 8)
     assert bucketed["lang_feat"].shape == (2, t_b, 300)
     assert full["lang_feat"].shape == (2, TEST_SPEC.max_tokens, 300)
     np.testing.assert_array_equal(
