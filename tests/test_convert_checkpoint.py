@@ -25,6 +25,9 @@ from instancerefer_tpu.utils.convert_torch import (
     torchsparse_offsets,
 )
 
+# full-tier only: heavy compiles / torch oracles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def variables():

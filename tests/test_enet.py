@@ -8,12 +8,17 @@ import numpy as np
 import pytest
 
 from instancerefer_tpu.models.enet import (
+
     Enet,
     EnetClassifier,
     EnetEncoder,
     create_enet_for_3d,
     normalize_frame,
 )
+
+# full-tier only: heavy compiles / torch oracles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 
 def test_encoder_feature_resolution(rng):

@@ -20,6 +20,9 @@ from lib.enet import create_enet  # noqa: E402  (reference torch module)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts.convert_enet import convert_state_dict  # noqa: E402
 
+# full-tier only: heavy compiles / torch oracles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def torch_enet():

@@ -32,6 +32,9 @@ from instancerefer_tpu.train.losses import get_loss
 
 import golden_replica as gr
 
+# full-tier only: heavy compiles / torch oracles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 SPEC = BatchSpec(
     max_tokens=24,
     max_instances=16,

@@ -31,6 +31,9 @@ from instancerefer_tpu.data.pipeline import batch_to_device_dict, collate, pad_s
 from instancerefer_tpu.models.instancerefer import InstanceRefer
 from instancerefer_tpu.train.losses import get_loss
 
+# full-tier only: heavy compiles / torch oracles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def train_forward():

@@ -35,6 +35,9 @@ from instancerefer_tpu.models.instancerefer import InstanceRefer
 from instancerefer_tpu.train.losses import get_loss
 from instancerefer_tpu.train.solver import bn_momentum_for_epoch, make_optimizer
 
+# full-tier only: heavy compiles / torch oracles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 N_STEPS = 4
 # wd larger than the reference's 1e-5 so the L2-into-grad fold is actually
 # visible at trajectory tolerances (wd*p must rival real gradient scale for

@@ -4,6 +4,9 @@ import jax
 import numpy as np
 import pytest
 
+# full-tier only: heavy compiles / torch oracles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def test_eight_fake_devices_present():
     assert len(jax.devices()) >= 8
