@@ -11,6 +11,7 @@
 //
 // Build:  python instancerefer_tpu/native/build.py   (or `make -C .`)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -82,13 +83,287 @@ struct HashMap {
   }
 };
 
+// 3x3x3 kernel offsets, same x-fastest enumeration as
+// ops/voxelize.KERNEL_OFFSETS_3 (order decides which weight slice learns
+// which offset — must match the Python table).
+struct Off3Table {
+  int32_t off[27][3];
+  Off3Table() {
+    int k = 0;
+    for (int dz = -1; dz <= 1; ++dz)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dx = -1; dx <= 1; ++dx, ++k) {
+          off[k][0] = dx; off[k][1] = dy; off[k][2] = dz;
+        }
+  }
+};
+const Off3Table kOff3;
+
+// LSD radix sort of (packed key, original row) pairs by the 42-bit key,
+// 14 bits per pass.  Stable, so equal keys keep original row order (which
+// "first occurrence" relies on); ~3x faster than std::sort at the 40k-row
+// scene scale.
+void radix_sort_by_key(std::vector<int64_t>& keys, std::vector<int32_t>& idx) {
+  const int64_t n = static_cast<int64_t>(keys.size());
+  std::vector<int64_t> keys2(n);
+  std::vector<int32_t> idx2(n);
+  std::vector<int64_t> count(1 << kCoordBits);
+  for (int pass = 0; pass < 3; ++pass) {
+    const int shift = pass * kCoordBits;
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < n; ++i)
+      ++count[(keys[i] >> shift) & kCoordMask];
+    int64_t run = 0;
+    for (int64_t b = 0; b <= kCoordMask; ++b) {
+      int64_t c = count[b]; count[b] = run; run += c;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t pos = count[(keys[i] >> shift) & kCoordMask]++;
+      keys2[pos] = keys[i]; idx2[pos] = idx[i];
+    }
+    keys.swap(keys2); idx.swap(idx2);
+  }
+}
+
+// One stage of a conv pyramid under construction (single group, local rows).
+struct PyrStage {
+  std::vector<int32_t> coords;  // n x 3
+  std::vector<int64_t> keys;    // n packed keys
+  std::vector<int32_t> nbr;     // n x 27
+  std::vector<int32_t> down;    // n x 8 (empty on stage 0)
+  int64_t n = 0;
+};
+
+// True iff keys are strictly ascending AND every coord is far enough from
+// the ±8191 packing boundary that a ±stride neighbor query cannot clip —
+// the preconditions for the linear merge-join neighbor build.
+bool merge_safe(const PyrStage& st, int32_t stride) {
+  const int64_t lim = kCoordMask / 2 - stride;  // |c| <= 8191 - stride
+  for (int64_t i = 0; i < st.n; ++i) {
+    if (i && st.keys[i] <= st.keys[i - 1]) return false;
+    const int32_t* c = st.coords.data() + 3 * i;
+    if (c[0] < -lim || c[0] > lim || c[1] < -lim || c[1] > lim ||
+        c[2] < -lim || c[2] > lim)
+      return false;
+  }
+  return true;
+}
+
+// Submanifold 3^3 neighbor map.  Raster-sorted coords make each offset's
+// query keys "keys + const", so matches come from a linear co-walk of two
+// sorted arrays (13 offset pairs, mirrored: c_j = c_i + o  <=>
+// c_i = c_j - o), instead of 27n random hash probes — the hash build was
+// the single hottest host-pipeline function before this.
+void build_nbr_merge(PyrStage& st, int32_t stride) {
+  const int64_t n = st.n;
+  st.nbr.assign(n * 27, -1);
+  for (int64_t i = 0; i < n; ++i) st.nbr[i * 27 + 13] = static_cast<int32_t>(i);
+  for (int k = 0; k < 13; ++k) {
+    const int64_t delta =
+        int64_t(kOff3.off[k][0]) * stride * (1ll << (2 * kCoordBits)) +
+        int64_t(kOff3.off[k][1]) * stride * (1ll << kCoordBits) +
+        int64_t(kOff3.off[k][2]) * stride;
+    int64_t j = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t q = st.keys[i] + delta;
+      while (j < n && st.keys[j] < q) ++j;
+      if (j >= n) break;
+      if (st.keys[j] == q) {
+        st.nbr[i * 27 + k] = static_cast<int32_t>(j);
+        st.nbr[j * 27 + (26 - k)] = static_cast<int32_t>(i);
+      }
+    }
+  }
+}
+
+// Hash fallback (identical semantics to ir_build_nbr) for unsorted or
+// boundary-clipped coords.
+void build_nbr_hash(PyrStage& st, int32_t stride) {
+  const int64_t n = st.n;
+  st.nbr.assign(n * 27, -1);
+  HashMap map(n);
+  bool ins;
+  for (int64_t i = 0; i < n; ++i)
+    map.insert(st.keys[i], static_cast<int32_t>(i), &ins);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* c = st.coords.data() + 3 * i;
+    for (int k = 0; k < 27; ++k) {
+      st.nbr[i * 27 + k] = map.find(pack3(
+          c[0] + int64_t(kOff3.off[k][0]) * stride,
+          c[1] + int64_t(kOff3.off[k][1]) * stride,
+          c[2] + int64_t(kOff3.off[k][2]) * stride));
+    }
+  }
+}
+
+void fill_keys(PyrStage& st) {
+  st.keys.resize(st.n);
+  for (int64_t i = 0; i < st.n; ++i) st.keys[i] = pack(st.coords.data() + 3 * i);
+}
+
+// Stride-2 downsample of prev into out (ir_downsample semantics: unique
+// floor(c / (2*stride)) * (2*stride) in first-occurrence order, then
+// raster-sorted when requested; down[o][j] = prev row at out + {0,stride}^3).
+void downsample_stage(const PyrStage& prev, int32_t stride, bool raster,
+                      PyrStage& out) {
+  const int64_t n = prev.n;
+  const int64_t ns = int64_t(stride) * 2;
+  HashMap in_map(n);
+  bool ins;
+  for (int64_t i = 0; i < n; ++i)
+    in_map.insert(prev.keys[i], static_cast<int32_t>(i), &ins);
+
+  HashMap out_map(n);
+  out.coords.clear();
+  out.n = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t d[3];
+    for (int t = 0; t < 3; ++t) {
+      int64_t c = prev.coords[3 * i + t];
+      int64_t q = (c >= 0) ? (c / ns) : (-(((-c) + ns - 1) / ns));
+      d[t] = static_cast<int32_t>(q * ns);
+    }
+    out_map.insert(pack(d), static_cast<int32_t>(out.n), &ins);
+    if (ins) {
+      out.coords.insert(out.coords.end(), d, d + 3);
+      ++out.n;
+    }
+  }
+  fill_keys(out);
+  if (raster && out.n > 1) {
+    // stable sort by packed key (keys are unique post-dedup, so plain
+    // pair-sort matches numpy's stable argsort)
+    std::vector<int32_t> ord(out.n);
+    for (int64_t i = 0; i < out.n; ++i) ord[i] = static_cast<int32_t>(i);
+    std::vector<int64_t> k2(out.keys);
+    radix_sort_by_key(k2, ord);
+    std::vector<int32_t> c2(out.n * 3);
+    for (int64_t i = 0; i < out.n; ++i)
+      std::memcpy(c2.data() + 3 * i, out.coords.data() + 3 * ord[i],
+                  3 * sizeof(int32_t));
+    out.coords.swap(c2);
+    out.keys.swap(k2);
+  }
+  out.down.assign(out.n * 8, -1);
+  for (int64_t o = 0; o < out.n; ++o) {
+    const int32_t* c = out.coords.data() + 3 * o;
+    int32_t j = 0;
+    for (int dz = 0; dz < 2; ++dz)
+      for (int dy = 0; dy < 2; ++dy)
+        for (int dx = 0; dx < 2; ++dx, ++j)
+          out.down[o * 8 + j] = in_map.find(
+              pack3(c[0] + int64_t(dx) * stride, c[1] + int64_t(dy) * stride,
+                    c[2] + int64_t(dz) * stride));
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 // Bumped whenever an entry point's signature changes; the ctypes loader
 // refuses older .so revisions (rebuild is automatic on source mtime).
-int32_t ir_abi_version() { return 2; }
+int32_t ir_abi_version() { return 3; }
+
+// Unique-by-voxel keeping the first occurrence per voxel, emitted in raster
+// (packed-key) order: the fused form of ir_unique_first + the raster argsort
+// that ops/voxelize.quantize(raster_order=True) needs.  Radix sort is stable,
+// so the first pair of each equal-key run carries the smallest original row.
+int64_t ir_unique_raster(const int32_t* coords, int64_t n, int64_t* keep_idx) {
+  std::vector<int64_t> keys(n);
+  std::vector<int32_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) {
+    keys[i] = pack(coords + 3 * i);
+    idx[i] = static_cast<int32_t>(i);
+  }
+  radix_sort_by_key(keys, idx);
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (i == 0 || keys[i] != keys[i - 1]) keep_idx[m++] = idx[i];
+  return m;
+}
+
+// Fused conv-pyramid build: quantized stage-0 coords for g groups (each
+// group's rows contiguous, raster-sorted within the group when raster != 0)
+// -> all num_stages stages, groups concatenated per stage, truncated to the
+// per-stage caps and padded (coords 0, owner/nbr/down -1) — the single
+// native call replacing the per-stage Python round trips of
+// ops/voxelize.build_pyramid + concat_stages + pad_stage.  Semantics are
+// bit-identical to that numpy chain (tests/test_native_voxelizer.py):
+// neighbor/down refs whose MERGED row lands beyond the cap become -1, and
+// out_counts[s] reports the pre-truncation merged row count (the caller's
+// overflow accounting).  Output stage s occupies rows
+// [sum(caps[:s]), sum(caps[:s]) + caps[s]) of every out array.
+void ir_pyramid(const int32_t* coords0, const int64_t* group_off,
+                const int32_t* owners, int64_t g, int32_t num_stages,
+                const int64_t* caps, int32_t raster, int32_t* out_coords,
+                int32_t* out_owner, int32_t* out_nbr3, int32_t* out_down,
+                int64_t* out_counts) {
+  int64_t total_cap = 0;
+  std::vector<int64_t> base(num_stages);
+  for (int32_t s = 0; s < num_stages; ++s) {
+    base[s] = total_cap;
+    total_cap += caps[s];
+  }
+  // padding init: -1 int32 is all-0xFF bytes, so memset covers every array
+  std::memset(out_coords, 0, size_t(total_cap) * 3 * sizeof(int32_t));
+  std::memset(out_owner, 0xFF, size_t(total_cap) * sizeof(int32_t));
+  std::memset(out_nbr3, 0xFF, size_t(total_cap) * 27 * sizeof(int32_t));
+  std::memset(out_down, 0xFF, size_t(total_cap) * 8 * sizeof(int32_t));
+  // cum[s]: merged rows already emitted at stage s (pre-truncation) — the
+  // index offset for this group's local refs
+  std::vector<int64_t> cum(num_stages, 0);
+
+  PyrStage cur, next;
+  for (int64_t gi = 0; gi < g; ++gi) {
+    const int64_t n0 = group_off[gi + 1] - group_off[gi];
+    cur.n = n0;
+    cur.coords.assign(coords0 + 3 * group_off[gi],
+                      coords0 + 3 * group_off[gi + 1]);
+    fill_keys(cur);
+    int32_t stride = 1;
+    for (int32_t s = 0; s < num_stages; ++s) {
+      if (s > 0) {
+        downsample_stage(cur, stride, raster != 0, next);
+        std::swap(cur, next);
+        stride *= 2;
+      }
+      if (raster != 0 && merge_safe(cur, stride))
+        build_nbr_merge(cur, stride);
+      else
+        build_nbr_hash(cur, stride);
+
+      const int64_t off = cum[s];
+      const int64_t prev_off = s > 0 ? cum[s - 1] - next.n : 0;  // pre-swap prev
+      const int64_t cap = caps[s];
+      const int64_t prev_cap = s > 0 ? caps[s - 1] : 0;
+      const int64_t n_write =
+          std::min(cur.n, cap > off ? cap - off : int64_t(0));
+      for (int64_t i = 0; i < n_write; ++i) {
+        const int64_t r = base[s] + off + i;
+        std::memcpy(out_coords + 3 * r, cur.coords.data() + 3 * i,
+                    3 * sizeof(int32_t));
+        out_owner[r] = owners[gi];
+        for (int k = 0; k < 27; ++k) {
+          int32_t v = cur.nbr[i * 27 + k];
+          int64_t gv = v < 0 ? -1 : v + off;
+          out_nbr3[r * 27 + k] =
+              (gv >= 0 && gv < cap) ? static_cast<int32_t>(gv) : -1;
+        }
+        if (s > 0) {
+          for (int k = 0; k < 8; ++k) {
+            int32_t v = cur.down[i * 8 + k];
+            int64_t gv = v < 0 ? -1 : v + prev_off;
+            out_down[r * 8 + k] =
+                (gv >= 0 && gv < prev_cap) ? static_cast<int32_t>(gv) : -1;
+          }
+        }
+      }
+      cum[s] += cur.n;
+    }
+  }
+  for (int32_t s = 0; s < num_stages; ++s) out_counts[s] = cum[s];
+}
 
 // Unique-by-voxel keeping first occurrence; writes kept row indices to
 // keep_idx (caller allocates n) and returns the kept count.

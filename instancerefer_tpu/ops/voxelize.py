@@ -80,14 +80,21 @@ def _load_native():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, i64p, i64p,
         ]
-        # presence probe for the block_in-aware revision of ir_band_starts
+        # version probe: v3 added ir_unique_raster + the fused ir_pyramid
         lib.ir_abi_version.restype = ctypes.c_int32
         lib.ir_abi_version.argtypes = []
-        if lib.ir_abi_version() < 2:
+        if lib.ir_abi_version() < 3:
             return None
         lib.ir_invert_down.restype = None
         lib.ir_invert_down.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+        ]
+        lib.ir_unique_raster.restype = ctypes.c_int64
+        lib.ir_unique_raster.argtypes = [i32p, ctypes.c_int64, i64p]
+        lib.ir_pyramid.restype = None
+        lib.ir_pyramid.argtypes = [
+            i32p, i64p, i32p, ctypes.c_int64, ctypes.c_int32, i64p,
+            ctypes.c_int32, i32p, i32p, i32p, i32p, i64p,
         ]
     except AttributeError:
         # an .so from an older source revision without the newer entry points
@@ -155,6 +162,10 @@ def quantize(
     coords = np.ascontiguousarray(np.floor(xyz / voxel_size), dtype=np.int32)
     if _NATIVE is not None:
         keep = np.empty(len(coords), np.int64)
+        if raster_order:
+            # fused first-occurrence dedup + raster sort (radix, one pass)
+            m = _NATIVE.ir_unique_raster(coords, len(coords), keep)
+            return coords[keep[:m]], feats[keep[:m]]
         m = _NATIVE.ir_unique_first(coords, len(coords), keep)
         first = keep[:m]
     else:
@@ -496,6 +507,77 @@ def concat_stages(groups: List[List[StageArrays]], num_stages: int) -> List[Stag
             )
         )
     return out
+
+
+def build_pyramid_padded(
+    group_coords: List[np.ndarray],
+    owners: Sequence[int],
+    caps: Sequence[int],
+    raster: bool,
+) -> Tuple[List[StageArrays], List[int]]:
+    """Fused pyramid build for the hot input-pipeline path: per-group
+    pyramids -> concatenated per stage -> truncated + padded to ``caps``.
+
+    Exactly ``pad_stage(concat_stages([build_pyramid(c, o, S, raster=r)
+    for ...]), cap, prev_cap)`` per stage (a parity test pins this), plus the
+    pre-truncation merged row count per stage (the caller's overflow
+    accounting).  With the native library present this is ONE C call per
+    sample pyramid — merge-join neighbor maps over the raster-sorted rows
+    instead of per-stage hash probes, and no intermediate numpy arrays.
+    """
+    num_stages = len(caps)
+    if _NATIVE is not None:
+        g = len(group_coords)
+        if g:
+            flat = np.ascontiguousarray(
+                np.concatenate(group_coords, axis=0), dtype=np.int32
+            )
+        else:
+            flat = np.zeros((0, 3), np.int32)
+        group_off = np.zeros(g + 1, np.int64)
+        np.cumsum([len(c) for c in group_coords], out=group_off[1:])
+        owners_a = np.asarray(list(owners), np.int32)
+        caps_a = np.asarray(list(caps), np.int64)
+        total = int(caps_a.sum())
+        out_coords = np.empty((total, 3), np.int32)
+        out_owner = np.empty(total, np.int32)
+        out_nbr3 = np.empty((total, 27), np.int32)
+        out_down = np.empty((total, 8), np.int32)
+        out_counts = np.empty(num_stages, np.int64)
+        _NATIVE.ir_pyramid(
+            flat, group_off, owners_a, g, num_stages, caps_a,
+            1 if raster else 0, out_coords, out_owner, out_nbr3, out_down,
+            out_counts,
+        )
+        stages = []
+        lo = 0
+        for s, cap in enumerate(caps):
+            hi = lo + cap
+            down = (
+                out_down[lo:hi]
+                if s > 0
+                else np.zeros((cap, 0), np.int32)
+            )
+            stages.append(
+                StageArrays(
+                    out_coords[lo:hi], out_owner[lo:hi], out_nbr3[lo:hi],
+                    down, 1 << s,
+                )
+            )
+            lo = hi
+        return stages, [int(c) for c in out_counts]
+
+    groups = [
+        build_pyramid(c, owner=o, num_stages=num_stages, raster=raster)
+        for c, o in zip(group_coords, owners)
+    ]
+    merged = concat_stages(groups, num_stages)
+    counts = [len(merged[s].coords) for s in range(num_stages)]
+    stages = [
+        pad_stage(merged[s], caps[s], caps[s - 1] if s > 0 else None)
+        for s in range(num_stages)
+    ]
+    return stages, counts
 
 
 def pad_stage(stage: StageArrays, cap: int, prev_cap: Optional[int]) -> StageArrays:

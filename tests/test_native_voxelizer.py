@@ -187,3 +187,100 @@ def test_center_misaligned_chunks_counted_as_dropped(rng):
         np.testing.assert_array_equal(ws, py[0])
         np.testing.assert_array_equal(wsk_t, py[1])
         assert dropped == py[2] and total == py[3]
+
+
+def _numpy_pyramid_padded(group_coords, owners, caps, raster):
+    """Reference chain: build_pyramid per group -> concat -> pad_stage."""
+    groups = [
+        V.build_pyramid(c, owner=o, num_stages=len(caps), raster=raster)
+        for c, o in zip(group_coords, owners)
+    ]
+    merged = V.concat_stages(groups, len(caps))
+    counts = [len(merged[s].coords) for s in range(len(caps))]
+    stages = [
+        V.pad_stage(merged[s], caps[s], caps[s - 1] if s else None)
+        for s in range(len(caps))
+    ]
+    return stages, counts
+
+
+@pytest.mark.parametrize("raster", [True, False])
+@pytest.mark.parametrize("caps", [(256, 128, 64, 32, 16), (64, 32, 16, 16, 16)])
+def test_native_pyramid_identical(rng, raster, caps):
+    """The fused ir_pyramid (merge-join neighbor maps, in-C++ truncation and
+    padding) must be bit-identical to the numpy build_pyramid -> concat ->
+    pad_stage chain, including cap truncation turning refs into -1."""
+    group_coords = []
+    for _ in range(int(rng.integers(1, 5))):
+        npts = int(rng.integers(50, 1500))
+        xyz = rng.normal(scale=2.0, size=(npts, 3)) + rng.normal(scale=5, size=3)
+        coords, _ = V.quantize(xyz, xyz, 0.05, raster_order=raster)
+        group_coords.append(coords)
+    owners = list(range(len(group_coords)))
+    got_stages, got_counts = V.build_pyramid_padded(
+        group_coords, owners, caps, raster
+    )
+    saved = V._NATIVE
+    V._NATIVE = None
+    try:
+        want_stages, want_counts = _numpy_pyramid_padded(
+            group_coords, owners, caps, raster
+        )
+    finally:
+        V._NATIVE = saved
+    assert got_counts == want_counts
+    for s in range(len(caps)):
+        a, b = got_stages[s], want_stages[s]
+        np.testing.assert_array_equal(a.coords, b.coords, err_msg=f"coords s{s}")
+        np.testing.assert_array_equal(a.owner, b.owner, err_msg=f"owner s{s}")
+        np.testing.assert_array_equal(a.nbr3, b.nbr3, err_msg=f"nbr3 s{s}")
+        if s:
+            np.testing.assert_array_equal(a.down, b.down, err_msg=f"down s{s}")
+
+
+def test_native_pyramid_empty_groups():
+    """num_cand < 2 path: no groups -> all stages pure padding, zero counts."""
+    caps = (32, 16, 16)
+    stages, counts = V.build_pyramid_padded([], [], caps, raster=True)
+    assert counts == [0, 0, 0]
+    for s, cap in enumerate(caps):
+        assert stages[s].coords.shape == (cap, 3)
+        assert (stages[s].owner == -1).all()
+        assert (stages[s].nbr3 == -1).all()
+
+
+def test_native_pyramid_boundary_clip_falls_back(rng):
+    """Coords near the ±8191 packing boundary disable the merge join (clipped
+    neighbor keys would alias); the hash fallback must keep native == numpy."""
+    coords = np.unique(
+        rng.integers(8150, 8191, size=(200, 3)).astype(np.int32), axis=0
+    )
+    order = np.argsort(V.pack_coords(coords), kind="stable")
+    coords = coords[order]
+    caps = (128, 64, 32)
+    got_stages, got_counts = V.build_pyramid_padded([coords], [0], caps, True)
+    saved = V._NATIVE
+    V._NATIVE = None
+    try:
+        want_stages, want_counts = _numpy_pyramid_padded([coords], [0], caps, True)
+    finally:
+        V._NATIVE = saved
+    assert got_counts == want_counts
+    for s in range(len(caps)):
+        np.testing.assert_array_equal(got_stages[s].nbr3, want_stages[s].nbr3)
+        if s:
+            np.testing.assert_array_equal(got_stages[s].down, want_stages[s].down)
+
+
+def test_native_unique_raster_identical(rng):
+    xyz = rng.uniform(-5, 5, size=(4000, 3))
+    feats = rng.normal(size=(4000, 7)).astype(np.float32)
+    c_native, f_native = V.quantize(xyz, feats, 0.05, raster_order=True)
+    saved = V._NATIVE
+    V._NATIVE = None
+    try:
+        c_np, f_np = V.quantize(xyz, feats, 0.05, raster_order=True)
+    finally:
+        V._NATIVE = saved
+    np.testing.assert_array_equal(c_native, c_np)
+    np.testing.assert_array_equal(f_native, f_np)
