@@ -103,6 +103,11 @@ class Config:
     # pack_padded_sequence analog); 0 = fixed max_des_len grid.  Forced to 0
     # on multi-host runs (per-host batches must agree on global shapes).
     lang_bucket: int = 32
+    # measured band-geometry profile: a yaml written by
+    # scripts/calibrate_bands.py --emit-yaml, overlaid onto the pallas_*
+    # keys above at load time — so shipped geometry is provably derived
+    # from measurement, not hand-tuning (None = use the keys as written)
+    band_profile: Optional[str] = None
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"
@@ -138,19 +143,10 @@ class Config:
                 data_shards = len(jax.devices()) if use_pallas else 1
             except Exception:
                 use_pallas = False
+        # lang_bucket works on multi-host runs too: PaddedLoader derives each
+        # batch's grid from the GLOBAL permutation + lang_lengths(), so every
+        # host compiles the same shapes (test_lang_bucket_multihost_symmetric).
         lang_bucket = self.lang_bucket
-        if lang_bucket:
-            # multi-host runs must agree on every global shape: a per-batch
-            # language bucket would desynchronize the hosts' compiled
-            # programs (collectives deadlock).  Enforced here so EVERY
-            # batch_spec() consumer gets the guard, not just the CLIs.
-            try:
-                import jax
-
-                if jax.process_count() > 1:
-                    lang_bucket = 0
-            except Exception:
-                pass
         return BatchSpec(
             max_tokens=self.max_des_len,
             max_instances=self.max_instances,
@@ -242,10 +238,25 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
     args = parser.parse_args(argv)
 
     cfg = Config()
+    known = {f.name for f in dataclasses.fields(Config)}
     if args.config and os.path.exists(args.config):
         flat = _flatten_yaml(args.config)
-        known = {f.name for f in dataclasses.fields(Config)}
         for k, v in flat.items():
+            if k in known and v is not None:
+                setattr(cfg, k, v)
+    if cfg.band_profile:
+        # overlay the calibrated band geometry (relative paths resolve
+        # against the main config's directory, then the cwd)
+        prof = cfg.band_profile
+        if not os.path.exists(prof) and args.config:
+            cand = os.path.join(os.path.dirname(os.path.abspath(args.config)), prof)
+            prof = cand if os.path.exists(cand) else prof
+        if not os.path.exists(prof):
+            raise FileNotFoundError(
+                f"band_profile {cfg.band_profile!r} not found — regenerate it "
+                "with scripts/calibrate_bands.py --emit-yaml"
+            )
+        for k, v in _flatten_yaml(prof).items():
             if k in known and v is not None:
                 setattr(cfg, k, v)
     for k in ["gpu", "config", "log_dir", "debug", "pretrain", "data_root", "output_root"]:

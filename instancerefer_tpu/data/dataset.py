@@ -35,6 +35,7 @@ from instancerefer_tpu.data.pipeline import (
     MEAN_COLOR_RGB,
     BatchSpec,
     CoreSample,
+    build_scene_block,
     collate,
     compute_height_feature,
     finalize_batch,
@@ -75,6 +76,63 @@ def rotate_aligned_boxes_along_axis(boxes, rot_mat, axis):
     return np.concatenate([new_centers, new_lengths], axis=1)
 
 
+class _CoalescingLRU:
+    """Thread-safe LRU with in-flight miss coalescing and an optional byte
+    budget (entries report their size via ``nbytes_fn``).
+
+    Same pattern as ``ScannetReferenceDataset._load_scene``: annotations are
+    grouped by scene, so at a scene boundary every loader thread misses at
+    once — the in-flight event makes exactly one thread build while the rest
+    wait, instead of duplicating the (tens of ms) build per worker.
+    """
+
+    def __init__(self, max_entries: int = 0, max_bytes: int = 0, nbytes_fn=None):
+        self._data: "collections.OrderedDict" = collections.OrderedDict()
+        self._bytes: Dict = {}
+        self._total_bytes = 0
+        self.max_entries = max_entries
+        self.max_bytes = max_bytes
+        self._nbytes_fn = nbytes_fn or (lambda v: 0)
+        self._lock = threading.Lock()
+        self._inflight: Dict = {}
+
+    def get(self, key, builder):
+        while True:
+            with self._lock:
+                if key in self._data:
+                    self._data.move_to_end(key)
+                    return self._data[key]
+                ev = self._inflight.get(key)
+                if ev is None:
+                    ev = threading.Event()
+                    self._inflight[key] = ev
+                    break
+            ev.wait()
+        try:
+            val = builder()
+            nb = int(self._nbytes_fn(val))
+            with self._lock:
+                if key not in self._data:
+                    self._data[key] = val
+                    self._bytes[key] = nb
+                    self._total_bytes += nb
+                    self._data.move_to_end(key)
+                    while (self.max_entries and len(self._data) > self.max_entries) or (
+                        self.max_bytes and self._total_bytes > self.max_bytes
+                    ):
+                        k, _ = self._data.popitem(last=False)
+                        self._total_bytes -= self._bytes.pop(k, 0)
+            return val
+        finally:
+            with self._lock:
+                self._inflight.pop(key, None)
+            ev.set()
+
+
+def _dict_nbytes(d: Dict[str, np.ndarray]) -> int:
+    return sum(int(np.asarray(v).nbytes) for v in d.values())
+
+
 class ScannetReferenceDataset:
     """Per-annotation sample assembly (lib/dataset.py:37-300)."""
 
@@ -94,6 +152,8 @@ class ScannetReferenceDataset:
         dc: Optional[ScannetDatasetConfig] = None,
         allow_missing_tsv: bool = False,
         scene_cache_size: int = 128,
+        static_scene_sampling: Optional[bool] = None,
+        scene_block_cache_mb: int = 1024,
     ):
         self.scanrefer = scanrefer
         self.split = split
@@ -141,6 +201,33 @@ class ScannetReferenceDataset:
         self._inflight: Dict[str, threading.Event] = {}
         self._multiview = None
         self._mv_lock = threading.Lock()
+        # Deterministic PER-SCENE point sampling for non-train splits (default
+        # on when augmentation is off): all ~65 annotations of a scene share
+        # one 40k subsample + instance grouping, drawn from a scene-keyed RNG
+        # instead of a per-annotation one.  Deliberate deviation from the
+        # reference (lib/dataset.py:125 draws per annotation): each draw is
+        # still an unbiased sample of the scene, eval becomes epoch-
+        # deterministic, and the scene's padded voxel pyramid becomes
+        # cacheable across annotations AND epochs — the val feed drops from
+        # ~65 pyramid builds per scene to 1.  Train (augment on) never uses it.
+        if static_scene_sampling is None:
+            static_scene_sampling = not self.augment
+        self.static_scene_sampling = static_scene_sampling and not self.augment
+        # (point_cloud, instance grouping) per scene — deterministic bundles
+        self._bundle_cache = _CoalescingLRU(max_entries=scene_cache_size)
+        # padded scene voxel blocks (build_scene_block results, ~7 MB each at
+        # production caps) — byte-budgeted; PaddedLoader consults this via
+        # cached_scene_block
+        self._block_cache = _CoalescingLRU(
+            max_bytes=scene_block_cache_mb * (1 << 20), nbytes_fn=_dict_nbytes
+        )
+
+    def cached_scene_block(self, scene_id: str, key, builder):
+        """Padded scene-block cache (valid only under static_scene_sampling
+        with augmentation off — the loader checks).  ``key`` carries the
+        spec/voxel-size fingerprint so blocks from a different geometry can
+        never be served."""
+        return self._block_cache.get((scene_id, key), builder)
 
     def __len__(self):
         return len(self.scanrefer)
@@ -223,6 +310,21 @@ class ScannetReferenceDataset:
                 )
             return np.array(self._multiview[scene_id])
 
+    def lang_lengths(self) -> np.ndarray:
+        """All samples' lang_len (the ``get_lang`` count: non-whitespace
+        tokens capped at 126), computed once from the annotation JSON — no
+        GloVe lookups or scene IO.  Lets every host derive the GLOBAL batch's
+        bucketed language grid symmetrically (multi-host lang_bucket)."""
+        if getattr(self, "_lang_lens", None) is None:
+            self._lang_lens = np.array(
+                [
+                    min(len([t for t in d["token"] if not t.isspace()]), 126)
+                    for d in self.scanrefer
+                ],
+                np.int32,
+            )
+        return self._lang_lens
+
     def get_lang(self, idx: int):
         """Language-only assembly (lang_feat [T,300], lang_len) — the cheap
         slice of ``get_core`` used by the use_gt_lang=False prediction pass
@@ -246,6 +348,73 @@ class ScannetReferenceDataset:
         lang_len = min(len([t for t in tokens if not t.isspace()]), max_len)
         return emb, lang_len
 
+    def _assemble_points(self, scene_id: str, rng: np.random.Generator):
+        """Feature assembly + 40k sampling (lib/dataset.py:94-125)."""
+        mesh_vertices, instance_labels, semantic_labels, _ = \
+            self._load_scene(scene_id)
+        if not self.use_color:
+            point_cloud = mesh_vertices[:, 0:3]
+        else:
+            point_cloud = mesh_vertices[:, 0:6].copy()
+            point_cloud[:, 3:6] = (point_cloud[:, 3:6] - MEAN_COLOR_RGB) / 256.0
+        if self.use_normal:
+            point_cloud = np.concatenate([point_cloud, mesh_vertices[:, 6:9]], 1)
+        if self.use_multiview:
+            point_cloud = np.concatenate(
+                [point_cloud, self._multiview_feats(scene_id)], 1
+            )
+        if self.use_height:
+            height = compute_height_feature(point_cloud)
+            point_cloud = np.concatenate([point_cloud, height[:, None]], 1)
+
+        point_cloud, choices = random_sampling(point_cloud, self.num_points, rng)
+        return point_cloud, instance_labels[choices], semantic_labels[choices]
+
+    def _group_instances(self, point_cloud, instance_labels, semantic_labels, rng):
+        """Per-instance split on PointGroup ids (lib/dataset.py:201-245).
+        Returns (instance_points, instance_class, instance_obbs,
+        instance_ids) — ``instance_ids`` are the raw PointGroup labels, for
+        the caller's ``ref_target`` (gt marker) computation."""
+        instance_points, instance_class, instance_obbs, instance_ids = [], [], [], []
+        for i_instance in np.unique(instance_labels):
+            ind = np.nonzero(instance_labels == i_instance)[0]
+            ins_class = semantic_labels[ind[0]]
+            if ins_class in self.dc.nyu40ids:
+                x = point_cloud[ind]
+                cls18 = self.dc.nyu40id2class[int(ins_class)]
+                instance_class.append(cls18)
+                pc = x[:, :3]
+                center = 0.5 * (pc.min(0) + pc.max(0))
+                size = pc.max(0) - pc.min(0)
+                instance_obbs.append(
+                    np.concatenate([center, size, [0.0]]).astype(np.float32)
+                )
+                sampled, _ = random_sampling(x, 1024, rng)
+                instance_points.append(sampled.astype(np.float32))
+                instance_ids.append(int(i_instance))
+        return instance_points, instance_class, instance_obbs, instance_ids
+
+    def get_scene_bundle(self, scene_id: str):
+        """Deterministic per-scene (point_cloud, instance grouping) bundle for
+        static_scene_sampling pipelines — one draw shared by every annotation
+        of the scene, from a scene-keyed RNG (independent of epoch/annotation).
+        Cached (LRU, ``scene_cache_size`` entries); callers must not mutate."""
+        import zlib
+
+        def build():
+            rng = np.random.default_rng(
+                (self.seed, zlib.crc32(scene_id.encode()))
+            )
+            point_cloud, instance_labels, semantic_labels = \
+                self._assemble_points(scene_id, rng)
+            point_cloud = point_cloud.astype(np.float32)
+            groups = self._group_instances(
+                point_cloud, instance_labels, semantic_labels, rng
+            )
+            return (point_cloud,) + groups
+
+        return self._bundle_cache.get(scene_id, build)
+
     def get_core(
         self,
         idx: int,
@@ -268,26 +437,15 @@ class ScannetReferenceDataset:
         emb, lang_len = self.get_lang(idx)
 
         # ---- point cloud features (:94-123)
-        mesh_vertices, instance_labels, semantic_labels, instance_bboxes = \
-            self._load_scene(scene_id)
-        if not self.use_color:
-            point_cloud = mesh_vertices[:, 0:3]
+        static = self.static_scene_sampling and not self.augment
+        if static:
+            (point_cloud, instance_points, instance_class, instance_obbs,
+             instance_ids) = self.get_scene_bundle(scene_id)
+            instance_bboxes = self._load_scene(scene_id)[3]
         else:
-            point_cloud = mesh_vertices[:, 0:6].copy()
-            point_cloud[:, 3:6] = (point_cloud[:, 3:6] - MEAN_COLOR_RGB) / 256.0
-        if self.use_normal:
-            point_cloud = np.concatenate([point_cloud, mesh_vertices[:, 6:9]], 1)
-        if self.use_multiview:
-            point_cloud = np.concatenate(
-                [point_cloud, self._multiview_feats(scene_id)], 1
-            )
-        if self.use_height:
-            height = compute_height_feature(point_cloud)
-            point_cloud = np.concatenate([point_cloud, height[:, None]], 1)
-
-        point_cloud, choices = random_sampling(point_cloud, self.num_points, rng)
-        instance_labels = instance_labels[choices]
-        semantic_labels = semantic_labels[choices]
+            point_cloud, instance_labels, semantic_labels = \
+                self._assemble_points(scene_id, rng)
+            instance_bboxes = self._load_scene(scene_id)[3]
 
         # ---- labels + augmentation (:130-197)
         MAX_NUM_OBJ = 128
@@ -333,29 +491,19 @@ class ScannetReferenceDataset:
                     ref_size_residual = size_residuals[i].astype(np.float32)
 
         # ---- instance grouping (:201-245)
-        instance_points, instance_class, instance_obbs, ref_target = [], [], [], []
-        for i_instance in np.unique(instance_labels):
-            ind = np.nonzero(instance_labels == i_instance)[0]
-            ins_class = semantic_labels[ind[0]]
-            if ins_class in self.dc.nyu40ids:
-                x = point_cloud[ind]
-                cls18 = self.dc.nyu40id2class[int(ins_class)]
-                instance_class.append(cls18)
-                pc = x[:, :3]
-                center = 0.5 * (pc.min(0) + pc.max(0))
-                size = pc.max(0) - pc.min(0)
-                instance_obbs.append(
-                    np.concatenate([center, size, [0.0]]).astype(np.float32)
+        if not static:
+            instance_points, instance_class, instance_obbs, instance_ids = \
+                self._group_instances(
+                    point_cloud, instance_labels, semantic_labels, rng
                 )
-                sampled, _ = random_sampling(x, 1024, rng)
-                instance_points.append(sampled.astype(np.float32))
-                ref_target.append(1 if i_instance == object_id + 1 else 0)
+        ref_target = [1 if iid == object_id + 1 else 0 for iid in instance_ids]
 
         return CoreSample(
             lang_feat=emb,
             lang_len=lang_len,
             object_cat=object_cat,
-            point_cloud=point_cloud.astype(np.float32),
+            # static bundles are already float32 and shared read-only
+            point_cloud=point_cloud if static else point_cloud.astype(np.float32),
             instance_points=instance_points,
             instance_class=instance_class,
             instance_obbs=instance_obbs,
@@ -445,6 +593,24 @@ class PaddedLoader:
         self.process_index = process_index
         self.process_count = max(process_count, 1)
         self.epoch = 0
+        # scene-block reuse (val/eval): valid only when every annotation of a
+        # scene sees the same point cloud (static_scene_sampling, augment
+        # off); the key pins the spec geometry so a differently-configured
+        # loader can never consume another's blocks
+        ds = dataset
+        self._scene_blocks_on = bool(
+            getattr(ds, "static_scene_sampling", False)
+            and not getattr(ds, "augment", True)
+            and hasattr(ds, "cached_scene_block")
+            and hasattr(ds, "scanrefer")
+        )
+        self._scene_block_key = (
+            spec.geometry_fingerprint("scene"),
+            spec.feat_dim,
+            bool(spec.pallas_conv),
+            spec.pallas_count_drops,
+            float(voxel_size_glp),
+        )
 
     def __len__(self):
         # smallest per-host shard, so every host reports (and runs) the same
@@ -457,14 +623,58 @@ class PaddedLoader:
         rng = np.random.default_rng(sample_seed)
         override = self.class_overrides.get(idx) if self.class_overrides else None
         core = self.dataset.get_core(idx, rng, class_override=override)
+        scene_block = None
+        if self._scene_blocks_on:
+            scene_block = self.dataset.cached_scene_block(
+                self.dataset.scanrefer[idx]["scene_id"],
+                self._scene_block_key,
+                lambda: build_scene_block(
+                    core.point_cloud, self.spec, self.voxel_size_glp
+                ),
+            )
         return pad_sample(
-            core, self.spec, self.voxel_size_ap, self.voxel_size_glp
+            core, self.spec, self.voxel_size_ap, self.voxel_size_glp,
+            scene_block=scene_block,
         )
 
-    def _finalize(self, batch):
-        return finalize_batch(batch, self.batch_size, self.spec)
+    def _finalize(self, batch, lang_grid=None):
+        return finalize_batch(batch, self.batch_size, self.spec,
+                              lang_grid=lang_grid)
 
-    def __iter__(self):
+    def _global_lang_grids(self, order, nb):
+        """Per-batch bucketed language-grid length, computed from the GLOBAL
+        batch (hosts share ``order``, so every host derives the same grids —
+        the multi-host-safe form of collate's local-batch max).  Global batch
+        ``b`` is exactly ``order[b*G:(b+1)*G]`` (host p holds the positions
+        ``== p (mod process_count)`` of that slice).  None when bucketing is
+        off or the dataset cannot report lengths cheaply."""
+        if not self.spec.lang_bucket:
+            return None
+        lens_fn = getattr(self.dataset, "lang_lengths", None)
+        if lens_fn is None:
+            if self.process_count > 1:
+                raise ValueError(
+                    "multi-host lang_bucket needs dataset.lang_lengths() so "
+                    "all hosts agree on each batch's language grid; disable "
+                    "lang_bucket or provide it"
+                )
+            return None  # single-host: collate's local max is fine
+        lens = np.minimum(np.asarray(lens_fn()), self.spec.max_tokens)
+        glens = lens[order]
+        g = self.batch_size * self.process_count
+        return [
+            self.spec.bucketed_tokens(
+                int(glens[b * g : min((b + 1) * g, len(order))].max())
+            )
+            for b in range(nb)
+        ]
+
+    def _epoch_plan(self):
+        """(order, seeds, mine) for the CURRENT epoch, no state change:
+        the global permutation, the positional per-sample RNG seeds, and the
+        positions this host loads.  Factored out so PredictedClassLoader can
+        predict classes for exactly the sample subset this host will build
+        (its epoch-permuted shard), not the whole dataset."""
         n = len(self.dataset)
         order = np.arange(n)
         rng = np.random.default_rng(self.seed + self.epoch)
@@ -473,8 +683,6 @@ class PaddedLoader:
         # seeds are positional in the GLOBAL permutation: a multi-host run
         # builds exactly the samples (and augmentations) one host would
         seeds = rng.integers(2**31, size=n) if n else np.zeros(0, np.int64)
-        self.epoch += 1
-
         if self.process_count > 1:
             from instancerefer_tpu.parallel.mesh import host_shard_indices
 
@@ -484,8 +692,14 @@ class PaddedLoader:
             )
         else:
             mine = np.arange(n)
+        return order, seeds, mine
+
+    def __iter__(self):
+        order, seeds, mine = self._epoch_plan()
+        self.epoch += 1
         tasks = [(int(order[j]), int(seeds[j])) for j in mine]
         nb = len(self)
+        lang_grids = self._global_lang_grids(order, nb)
 
         def gen_padded():
             if self.num_workers > 0:
@@ -519,13 +733,15 @@ class PaddedLoader:
         for padded in gen_padded():
             batch.append(padded)
             if len(batch) == self.batch_size:
-                yield self._finalize(batch)
+                yield self._finalize(
+                    batch, lang_grids[done] if lang_grids else None
+                )
                 batch = []
                 done += 1
                 if done >= nb:
                     return
         if batch and done < nb and not self.drop_last:
-            yield self._finalize(batch)
+            yield self._finalize(batch, lang_grids[done] if lang_grids else None)
 
 
 class PredictedClassLoader:
@@ -574,11 +790,19 @@ class PredictedClassLoader:
             )
         )
 
-    def _predict_overrides(self):
+    def _predict_overrides(self, sample_idxs=None):
+        """Predict classes for ``sample_idxs`` (default: the whole dataset).
+        Multi-host runs pass only this host's epoch shard — O(n /
+        process_count) per host instead of every host re-predicting all n
+        samples (the override keys are global sample indices either way, so
+        they line up with what the host's loader builds)."""
         n = len(self.dataset)
+        all_idxs = (
+            list(range(n)) if sample_idxs is None else [int(i) for i in sample_idxs]
+        )
         overrides = {}
-        for lo in range(0, n, self.predict_batch):
-            idxs = list(range(lo, min(lo + self.predict_batch, n)))
+        for lo in range(0, len(all_idxs), self.predict_batch):
+            idxs = all_idxs[lo : lo + self.predict_batch]
             pairs = [self.dataset.get_lang(i) for i in idxs]
             # pad the tail chunk to the static predict_batch so a jitted
             # predict_fn keeps one compiled shape
@@ -604,10 +828,15 @@ class PredictedClassLoader:
 
     def __iter__(self):
         inner = PaddedLoader(
-            self.dataset, self.spec, self.batch_size,
-            class_overrides=self._predict_overrides(),
-            **self.loader_kwargs,
+            self.dataset, self.spec, self.batch_size, **self.loader_kwargs
         )
         inner.epoch = self.epoch
         self.epoch += 1
+        # predict only the samples THIS host's epoch shard actually loads
+        # (the shard follows the epoch permutation, so ask the loader)
+        order, _, mine = inner._epoch_plan()
+        shard = None
+        if inner.process_count > 1:
+            shard = sorted(int(order[j]) for j in mine)
+        inner.class_overrides = self._predict_overrides(shard)
         yield from inner

@@ -233,13 +233,56 @@ class CoreSample:
     filter_class: Optional[int] = None
 
 
+def build_scene_block(
+    point_cloud: np.ndarray, spec: BatchSpec, voxel_size_glp: float = 0.05
+) -> Dict[str, np.ndarray]:
+    """The scene-level half of ``pad_sample``: voxelize the full scene at
+    ``voxel_size_glp`` (lib/dataset.py:256-261), build the padded conv
+    pyramid + band metadata, and the point extent.
+
+    A pure function of (point_cloud, spec) — so when the point cloud is
+    deterministic per scene (``static_scene_sampling`` val/eval pipelines),
+    the returned block is shared across all ~65 annotations of a scene and
+    across epochs (``ScannetReferenceDataset.cached_scene_block``).  Callers
+    treat the returned arrays as immutable (collate copies, never mutates).
+    """
+    out: Dict[str, np.ndarray] = {}
+    coords, feats = V.quantize(
+        point_cloud[:, :3], point_cloud[:, : spec.feat_dim], voxel_size_glp,
+        raster_order=spec.pallas_conv,
+    )
+    scene_stages, scene_counts = V.build_pyramid_padded(
+        [coords], [0], spec.scene_caps, raster=spec.pallas_conv
+    )
+    out["scene_overflow"] = np.float32(
+        max(
+            max(0, scene_counts[s] - spec.scene_caps[s]) / max(scene_counts[s], 1)
+            for s in range(spec.num_stages)
+        )
+    )
+    out.update(
+        _pack_pyramid(
+            scene_stages, feats.astype(np.float32), spec.scene_caps,
+            prefix="scene", feat_dim=spec.feat_dim, spec=spec, padded=True,
+        )
+    )
+    out["point_min"] = point_cloud[:, :3].min(0).astype(np.float32)
+    out["point_max"] = point_cloud[:, :3].max(0).astype(np.float32)
+    return out
+
+
 def pad_sample(
     core: CoreSample,
     spec: BatchSpec,
     voxel_size_ap: float = 0.02,
     voxel_size_glp: float = 0.05,
+    scene_block: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, np.ndarray]:
-    """CoreSample -> per-sample padded arrays (local voxel-row indices)."""
+    """CoreSample -> per-sample padded arrays (local voxel-row indices).
+
+    ``scene_block``: a precomputed ``build_scene_block`` result for this
+    sample's point cloud (the scene-block cache's hit path); None recomputes.
+    """
     t = spec.max_tokens
     m = spec.max_instances
     cmax = spec.max_candidates
@@ -300,23 +343,21 @@ def pad_sample(
     # ---- instance voxel pyramid: only when >=2 candidates (the reference
     # never runs the encoder otherwise — models/attribute_module.py:75-76 —
     # which also keeps BatchNorm statistics identical)
-    groups = []
+    group_coords = []
     inst_feat_rows = []
     if num_cand >= 2:
-        for local_c, i in enumerate(cand_idx):
+        for i in cand_idx:
             pts = core.instance_points[i]
             coords, feats = V.quantize(
                 pts[:, :3], pts[:, : spec.feat_dim], voxel_size_ap,
                 raster_order=spec.pallas_conv,
             )
-            groups.append(
-                V.build_pyramid(
-                    coords, owner=local_c, num_stages=spec.num_stages,
-                    raster=spec.pallas_conv,
-                )
-            )
+            group_coords.append(coords)
             inst_feat_rows.append(feats.astype(np.float32))
-    merged = V.concat_stages(groups, spec.num_stages)
+    inst_stages, inst_counts = V.build_pyramid_padded(
+        group_coords, range(len(group_coords)), spec.inst_caps,
+        raster=spec.pallas_conv,
+    )
     inst_feats = (
         np.concatenate(inst_feat_rows, axis=0)
         if inst_feat_rows
@@ -328,42 +369,24 @@ def pad_sample(
     # the golden parity test
     out["inst_overflow"] = np.float32(
         max(
-            max(0, len(merged[s].coords) - spec.inst_caps[s])
-            / max(len(merged[s].coords), 1)
+            max(0, inst_counts[s] - spec.inst_caps[s]) / max(inst_counts[s], 1)
             for s in range(spec.num_stages)
         )
     )
     out.update(
         _pack_pyramid(
-            merged, inst_feats, spec.inst_caps, prefix="inst",
-            feat_dim=spec.feat_dim, spec=spec,
+            inst_stages, inst_feats, spec.inst_caps, prefix="inst",
+            feat_dim=spec.feat_dim, spec=spec, padded=True,
         )
     )
 
     # ---- scene voxel pyramid at voxel_size_glp (lib/dataset.py:256-261)
-    coords, feats = V.quantize(
-        core.point_cloud[:, :3], core.point_cloud[:, : spec.feat_dim], voxel_size_glp,
-        raster_order=spec.pallas_conv,
-    )
-    scene_pyr = V.build_pyramid(
-        coords, owner=0, num_stages=spec.num_stages, raster=spec.pallas_conv
-    )
-    out["scene_overflow"] = np.float32(
-        max(
-            max(0, len(scene_pyr[s].coords) - spec.scene_caps[s])
-            / max(len(scene_pyr[s].coords), 1)
-            for s in range(spec.num_stages)
-        )
-    )
     out.update(
-        _pack_pyramid(
-            scene_pyr, feats.astype(np.float32), spec.scene_caps, prefix="scene",
-            feat_dim=spec.feat_dim, spec=spec,
-        )
+        build_scene_block(core.point_cloud, spec, voxel_size_glp)
+        if scene_block is None
+        else scene_block
     )
 
-    out["point_min"] = core.point_cloud[:, :3].min(0).astype(np.float32)
-    out["point_max"] = core.point_cloud[:, :3].max(0).astype(np.float32)
     out["ref_center_label"] = core.ref_center_label.astype(np.float32)
     out["ref_heading_class_label"] = np.int32(0)
     out["ref_heading_residual_label"] = np.int32(0)
@@ -383,6 +406,7 @@ def _pack_pyramid(
     prefix: str,
     feat_dim: int,
     spec: Optional["BatchSpec"] = None,
+    padded: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Pad stages to their caps and (when ``spec`` is given) precompute ALL
     per-sample device metadata: inverse down maps and banded-conv window
@@ -399,7 +423,12 @@ def _pack_pyramid(
     out[f"{prefix}_feats"] = f
     dropped = total = 0
     for s, cap in enumerate(caps):
-        st = V.pad_stage(stages[s], cap, caps[s - 1] if s > 0 else None)
+        # ``padded``: stages already truncated+padded (build_pyramid_padded)
+        st = (
+            stages[s]
+            if padded
+            else V.pad_stage(stages[s], cap, caps[s - 1] if s > 0 else None)
+        )
         out[f"{prefix}_coords_{s}"] = st.coords
         out[f"{prefix}_owner_{s}"] = st.owner
         out[f"{prefix}_nbr3_{s}"] = st.nbr3
@@ -452,7 +481,11 @@ def _pack_pyramid(
     return out
 
 
-def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, np.ndarray]:
+def collate(
+    samples: List[Dict[str, np.ndarray]],
+    spec: BatchSpec,
+    lang_grid: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
     """Stack per-sample arrays; flatten voxel blocks with index offsets.
 
     The flat layout gives every voxel array a leading dim of ``B * cap`` with
@@ -461,6 +494,10 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
     (scene: batch index, instance: ``b * max_candidates + local_candidate``).
     Per-sample band metadata (window starts index INPUT rows) offsets by the
     input stage's cap; ``-1`` empty-chunk marks are preserved.
+
+    ``lang_grid`` overrides the bucketed language-grid length (multi-host
+    loaders compute it from the GLOBAL batch's lengths so every host collates
+    the same T — ``PaddedLoader``); None derives it from this (local) batch.
     """
     b = len(samples)
     cmax = spec.max_candidates
@@ -480,7 +517,11 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
         # bucketed language grid (see BatchSpec.lang_bucket): GRU outputs
         # past each sample's length are zeros either way, so slicing the
         # grid to the batch's bucket is exact
-        t_b = spec.bucketed_tokens(int(out["lang_len"].max()))
+        t_b = (
+            lang_grid
+            if lang_grid is not None
+            else spec.bucketed_tokens(int(out["lang_len"].max()))
+        )
         out["lang_feat"] = np.ascontiguousarray(out["lang_feat"][:, :t_b])
 
     def cat_off(key, off_per_sample, signed=True, axis=0):
@@ -571,7 +612,10 @@ def collate(samples: List[Dict[str, np.ndarray]], spec: BatchSpec) -> Dict[str, 
 
 
 def finalize_batch(
-    samples: List[Dict[str, np.ndarray]], batch_size: int, spec: BatchSpec
+    samples: List[Dict[str, np.ndarray]],
+    batch_size: int,
+    spec: BatchSpec,
+    lang_grid: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Collate, padding a partial batch to the static ``batch_size`` by
     repeating the last sample, so jit never sees a new *batch* shape.
@@ -590,7 +634,7 @@ def finalize_batch(
     assert 0 < valid <= batch_size, (valid, batch_size)
     while len(samples) < batch_size:
         samples.append(samples[-1])
-    out = collate(samples, spec)
+    out = collate(samples, spec, lang_grid=lang_grid)
     mask = np.zeros(batch_size, bool)
     mask[:valid] = True
     out["sample_valid"] = mask

@@ -25,18 +25,23 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np
 
 
-def phase_split(core, spec, voxel_size_glp=0.05, reps=3):
-    """Per-sample phase timings (scene pyramid path, the dominant cost)."""
+def phase_split(core, spec, voxel_size_glp=0.05, reps=7):
+    """Per-sample phase timings, medians of ``reps`` (the scene pyramid path,
+    the dominant cost).  Uses the production fused path
+    (``build_pyramid_padded`` — one native call per pyramid)."""
     from instancerefer_tpu.data.pipeline import pad_sample
     from instancerefer_tpu.ops import voxelize as V
 
     out = {}
 
     def timeit(name, fn):
-        t0 = time.perf_counter()
+        r = fn()  # warm
+        ts = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             r = fn()
-        out[name] = (time.perf_counter() - t0) / reps * 1e3
+            ts.append((time.perf_counter() - t0) * 1e3)
+        out[name] = float(np.median(ts))
         return r
 
     pc = core.point_cloud
@@ -45,20 +50,19 @@ def phase_split(core, spec, voxel_size_glp=0.05, reps=3):
         lambda: V.quantize(pc[:, :3], pc[:, : spec.feat_dim], voxel_size_glp,
                            raster_order=spec.pallas_conv),
     )
-    pyr = timeit(
+    stages, _counts = timeit(
         "pyramid_ms",
-        lambda: V.build_pyramid(coords, owner=0, num_stages=spec.num_stages,
-                                raster=spec.pallas_conv),
+        lambda: V.build_pyramid_padded(
+            [coords], [0], spec.scene_caps, raster=spec.pallas_conv
+        ),
     )
     if spec.pallas_conv:
         def bands():
             for s, cap in enumerate(spec.scene_caps):
-                st = V.pad_stage(pyr[s], cap, spec.scene_caps[s - 1] if s else None)
-                if len(st.nbr3) % spec.pallas_chunk == 0:
-                    V.compute_offset_window_starts(
-                        st.nbr3, spec.pallas_chunk, spec.pallas_window,
-                        spec.subwin_for(s), len(st.nbr3), count_drops=True,
-                    )
+                V.compute_offset_window_starts(
+                    stages[s].nbr3, spec.pallas_chunk, spec.pallas_window,
+                    spec.subwin_for(s), cap, count_drops=True,
+                )
         timeit("band_metadata_ms", bands)
     timeit("pad_sample_total_ms", lambda: pad_sample(core, spec))
     return out

@@ -113,7 +113,7 @@ def eval_ref(cfg: Config):
         dc = ScannetDatasetConfig(
             meta_dir=os.path.join(cfg.data_root, "scannet", "meta_data")
         )
-        spec = cfg.batch_spec()  # forces lang_bucket=0 when multi-host
+        spec = cfg.batch_spec()
         dataset = ScannetReferenceDataset(
             scanrefer_val, "val",
             data_root=cfg.data_root, num_points=cfg.num_points,

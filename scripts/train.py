@@ -99,7 +99,8 @@ def train(cfg: Config):
     assert cfg.batch_size % pc == 0, (
         f"batch_size {cfg.batch_size} must divide over {pc} hosts"
     )
-    # (batch_spec() already forces lang_bucket=0 when process_count > 1)
+    # (lang_bucket is multi-host-safe: loaders derive each batch's language
+    # grid from the global permutation, so hosts stay shape-synchronized)
     local_bs = cfg.batch_size // pc
     host = dict(process_index=jax.process_index(), process_count=pc)
     # one dataset per split (shared by the plain and predicted-class loaders:

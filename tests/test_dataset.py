@@ -377,3 +377,118 @@ def test_multiview_features_end_to_end(fake_data_root):
     )
     out = model.apply(variables, dd, train=False)
     assert out["attribute_scores"].shape == (1, 4)
+
+
+def test_static_scene_sampling_shares_bundle(fake_data_root):
+    """Non-train splits default to deterministic PER-SCENE sampling: every
+    annotation of a scene shares one point-cloud draw (documented deviation
+    from the reference's per-annotation draws), independent of the passed
+    rng and of epoch."""
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    assert ds.static_scene_sampling
+    a = ds.get_core(0, np.random.default_rng(1))
+    b = ds.get_core(0, np.random.default_rng(2))
+    np.testing.assert_array_equal(a.point_cloud, b.point_cloud)
+    # annotation-level fields still differ per annotation
+    c = ds.get_core(1, np.random.default_rng(3))
+    if scanrefer[0]["scene_id"] == scanrefer[1]["scene_id"]:
+        np.testing.assert_array_equal(a.point_cloud, c.point_cloud)
+    assert a.object_cat != c.object_cat or a.object_id != c.object_id
+    # train split: augmentation on -> per-annotation rng still varies
+    ds_t = _make_ds(root, scanrefer, split="train")
+    assert not ds_t.static_scene_sampling
+    t1 = ds_t.get_core(0, np.random.default_rng(1))
+    t2 = ds_t.get_core(0, np.random.default_rng(2))
+    assert not np.allclose(t1.point_cloud, t2.point_cloud)
+
+
+def test_scene_block_cache_hit_matches_recompute(fake_data_root):
+    """The padded scene block served from the cache must equal a fresh
+    pad_sample (no scene_block) bit-for-bit, across annotations and epochs."""
+    from instancerefer_tpu.data.pipeline import pad_sample
+
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    loader = PaddedLoader(ds, SPEC, batch_size=2, shuffle=False, num_workers=0,
+                          drop_last=False)
+    assert loader._scene_blocks_on
+    batches_cached = list(loader)
+    batches_cached2 = list(loader)  # second epoch: served from the cache
+    # recompute without any cache: static sampling, but scene_block=None
+    fresh = []
+    for i in range(len(ds)):
+        core = ds.get_core(i, np.random.default_rng(100 + i))
+        fresh.append(pad_sample(core, SPEC))
+    from instancerefer_tpu.data.pipeline import finalize_batch
+
+    want = [finalize_batch(fresh[:2], 2, SPEC), finalize_batch(fresh[2:], 2, SPEC)]
+    for got_ep in (batches_cached, batches_cached2):
+        assert len(got_ep) == len(want)
+        for bg, bw in zip(got_ep, want):
+            assert set(bg) == set(bw)
+            for k in bg:
+                np.testing.assert_array_equal(bg[k], bw[k], err_msg=k)
+
+
+def test_scene_block_cache_keyed_by_geometry(fake_data_root):
+    """Loaders with different specs must not serve each other's blocks."""
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+    l1 = PaddedLoader(ds, SPEC, batch_size=2, shuffle=False, num_workers=0)
+    spec2 = BatchSpec(
+        max_tokens=16, max_instances=8, max_candidates=4,
+        scene_caps=(128, 64, 32, 16, 16), inst_caps=(256, 128, 64, 32, 16),
+    )
+    l2 = PaddedLoader(ds, spec2, batch_size=2, shuffle=False, num_workers=0)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    assert b1["scene_nbr3_0"].shape == (2 * 256, 27)
+    assert b2["scene_nbr3_0"].shape == (2 * 128, 27)
+
+
+def test_predicted_class_loader_shards_prediction_multihost(fake_data_root, monkeypatch):
+    """Multi-host use_gt_lang=False: each host predicts classes ONLY for its
+    epoch shard (O(n/process_count) per host), the shards are disjoint and
+    cover the epoch, and override keys still line up with what each host's
+    loader builds (candidates follow the predicted class)."""
+    from instancerefer_tpu.data.dataset import PredictedClassLoader
+
+    root, scanrefer = fake_data_root
+    ds = _make_ds(root, scanrefer)
+
+    def predict_fn(lang_feat, lang_len):
+        return np.full(lang_feat.shape[0], 4, np.int64)  # 'table'
+
+    captured = {}
+    orig = PredictedClassLoader._predict_overrides
+
+    def spy(self, sample_idxs=None):
+        captured[self._spy_host] = sample_idxs
+        return orig(self, sample_idxs)
+
+    monkeypatch.setattr(PredictedClassLoader, "_predict_overrides", spy)
+
+    hosts = {}
+    for pi in (0, 1):
+        loader = PredictedClassLoader(
+            ds, SPEC, 1, predict_fn, predict_batch=2,
+            shuffle=True, seed=3, num_workers=0, drop_last=False,
+            process_index=pi, process_count=2,
+        )
+        loader._spy_host = pi
+        hosts[pi] = list(loader)
+
+    s0, s1 = captured[0], captured[1]
+    assert s0 is not None and s1 is not None, "shard not passed to predictor"
+    assert set(s0).isdisjoint(s1)
+    assert set(s0) | set(s1) == set(range(len(ds)))
+    # shard sizes ~ n / process_count, not n
+    assert max(len(s0), len(s1)) <= -(-len(ds) // 2)
+    # the predicted class drove candidate filtering on both hosts
+    for batches in hosts.values():
+        for b in batches:
+            classes = b["instance_class"][
+                np.arange(len(b["cand_mask"]))[:, None], b["cand_slot"]
+            ]
+            assert (classes[b["cand_mask"]] == 4).all()

@@ -576,15 +576,61 @@ def test_lang_bucket_slices_grid_and_preserves_lang_outputs(rng):
     )
 
 
-def test_batch_spec_forces_lang_bucket_off_multihost(monkeypatch):
-    """Config.batch_spec() must zero lang_bucket when process_count > 1 —
-    per-host batches have to agree on every global shape, and the guard
-    lives in the framework, not in each entry script."""
-    import jax
+def test_lang_bucket_multihost_symmetric(rng):
+    """Multi-host lang_bucket (replacing the old force-off guard): two fake
+    hosts iterating their disjoint shards of the same epoch must collate an
+    IDENTICAL language grid for every lockstep batch — derived from the
+    GLOBAL batch's max length (order is shared; lang_lengths() is cheap) —
+    and that grid equals the global-batch bucket, not either host's local
+    max.  Without this the hosts' jitted programs desynchronize and the
+    collectives deadlock."""
+    import dataclasses
 
-    from instancerefer_tpu.config import Config
+    from instancerefer_tpu.data.dataset import PaddedLoader
+    from instancerefer_tpu.data.synthetic import TEST_SPEC, make_core_sample
 
-    cfg = Config(lang_bucket=32)
-    assert cfg.batch_spec().lang_bucket == 32
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    assert cfg.batch_spec().lang_bucket == 0
+    spec = dataclasses.replace(TEST_SPEC, lang_bucket=4, max_tokens=24)
+    mean_size = np.linspace(0.3, 2.0, 18)[:, None] * np.array([[1.0, 0.9, 0.8]])
+    n = 16
+    cores = []
+    lens = rng.integers(2, 24, size=n)
+    for i in range(n):
+        c = make_core_sample(
+            rng, num_points=200, num_instances=3, num_candidates=2,
+            scan_idx=i, mean_size_arr=mean_size,
+        )
+        c.lang_len = int(lens[i])
+        c.lang_feat = np.ones((int(lens[i]), 300), np.float32)
+        cores.append(c)
+
+    class _DS:
+        def __len__(self):
+            return n
+
+        def get_core(self, idx, rng=None, class_override=None):
+            return cores[idx]
+
+        def lang_lengths(self):
+            return lens.astype(np.int32)
+
+    def loader(pi, pc):
+        return PaddedLoader(
+            _DS(), spec, batch_size=4 // pc, shuffle=True, seed=5,
+            num_workers=0, process_index=pi, process_count=pc,
+        )
+
+    host0 = list(loader(0, 2))
+    host1 = list(loader(1, 2))
+    single = list(loader(0, 1))
+    assert len(host0) == len(host1) == len(single)
+    for b0, b1, bs in zip(host0, host1, single):
+        t0 = b0["lang_feat"].shape[1]
+        assert t0 == b1["lang_feat"].shape[1], "hosts disagree on the grid"
+        # equals the GLOBAL batch bucket (the single-host loader over the
+        # same seed sees the same global batch composition)
+        assert t0 == bs["lang_feat"].shape[1]
+        # and is genuinely bucketed (not always the full grid)
+        assert t0 % spec.lang_bucket == 0 and t0 <= spec.max_tokens
+    assert {b["lang_feat"].shape[1] for b in host0} != {spec.max_tokens}, (
+        "bucketing never engaged — fixture lengths too uniform"
+    )
