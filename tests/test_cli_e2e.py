@@ -1,0 +1,174 @@
+"""Subprocess end-to-end drive of the CLIs on a fake dataset (VERDICT r3 #3).
+
+Runs the real programs the way a user does — ``scripts/train.py`` ->
+``scripts/eval.py`` (cold + warm cache) -> resume via ``use_checkpoint`` ->
+``scripts/convert_checkpoint.py`` round trip — because the glue between
+solver, config, and checkpoint layout is exactly where unit tests have
+missed bugs before (round-3's seg_loss key drift made post-best checkpoints
+unrestorable and only a CLI drive would have caught it).  Reference behavior
+being covered: ``/root/reference/scripts/train.py:193-213``,
+``scripts/eval.py:96-199``, ``lib/solver.py:369-386``.
+
+Heavy (several CPU jit compiles across subprocesses) -> slow tier; the
+persistent XLA compile cache keeps reruns fast.
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fake_scanrefer import make_fake_root
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=900):
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        OMP_NUM_THREADS="1",
+        IR_TPU_NO_BUILD=os.environ.get("IR_TPU_NO_BUILD", "0"),
+    )
+    res = subprocess.run(
+        [sys.executable] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    assert res.returncode == 0, (
+        f"{' '.join(args)} failed ({res.returncode})\n"
+        f"--- stdout:\n{res.stdout[-4000:]}\n--- stderr:\n{res.stderr[-4000:]}"
+    )
+    return res
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fake_sr")
+    make_fake_root(root, np.random.default_rng(0))
+    yaml_path = root / "tiny.yaml"
+    yaml_path.write_text(
+        """
+GENERAL:
+  manual_seed: 123
+DATA:
+  num_points: 500
+MODEL:
+  use_gt_lang: True
+TRAIN:
+  batch_size: 4
+  num_workers: 1
+  epoch: 2
+  verbose: 1
+  val_step: 1000
+TPU:
+  compute_dtype: float32
+  pallas_conv: False
+  max_des_len: 16
+  lang_bucket: 8
+  max_instances: 8
+  max_candidates: 4
+  scene_caps: [256, 128, 64, 32, 16]
+  inst_caps: [256, 128, 64, 32, 16]
+"""
+    )
+    return root, yaml_path
+
+
+def _common_flags(root, yaml_path):
+    return [
+        "--config", str(yaml_path),
+        "--log_dir", "e2erun",
+        "--data_root", str(root),
+        "--output_root", str(root / "outputs"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def trained(fake_root):
+    root, yaml_path = fake_root
+    res = _run(["scripts/train.py"] + _common_flags(root, yaml_path))
+    ckpt_root = root / "outputs" / "ScanRefer" / "e2erun" / "checkpoints"
+    stamps = sorted(glob.glob(str(ckpt_root / "*")))
+    assert len(stamps) == 1, (stamps, res.stdout[-2000:])
+    run_dir = stamps[0]
+    return root, yaml_path, run_dir, res
+
+
+def test_train_produces_artifacts(trained):
+    _, _, run_dir, res = trained
+    # the reference's three checkpoint roles (lib/solver.py:154-156,342,373-381)
+    for role in ("model_last", "model", "checkpoint"):
+        assert os.path.isdir(os.path.join(run_dir, role)), role
+    for f in ("best.txt", "log.txt", "info.json", "scalars.jsonl"):
+        assert os.path.isfile(os.path.join(run_dir, f)), f
+    assert "start training" in res.stdout
+    best = open(os.path.join(run_dir, "best.txt")).read()
+    assert "epoch" in best and "iou_rate_0.25" in best
+
+
+def test_eval_cold_then_cached(trained):
+    root, yaml_path, run_dir, _ = trained
+    res1 = _run(["scripts/eval.py"] + _common_flags(root, yaml_path))
+    assert os.path.isfile(os.path.join(run_dir, "scores.npz"))
+    assert "acc@0.25" in res1.stdout
+    # warm run must short-circuit to the cache (reference scripts/eval.py:189-199)
+    res2 = _run(["scripts/eval.py"] + _common_flags(root, yaml_path))
+    assert "loading cached scores" in res2.stdout
+    # cached aggregation must reproduce the cold-run table
+    cold = [l for l in res1.stdout.splitlines() if l.startswith("overall:")]
+    warm = [l for l in res2.stdout.splitlines() if l.startswith("overall:")]
+    assert cold and cold == warm
+
+
+def test_resume_from_checkpoint(trained):
+    root, yaml_path, run_dir, _ = trained
+    stamp = os.path.basename(run_dir)
+    resume_yaml = root / "resume.yaml"
+    resume_yaml.write_text(
+        open(yaml_path).read().replace(
+            "epoch: 2", f"epoch: 3\n  use_checkpoint: {stamp}"
+        )
+    )
+    res = _run(["scripts/train.py"] + [
+        "--config", str(resume_yaml),
+        "--log_dir", "e2erun",
+        "--data_root", str(root),
+        "--output_root", str(root / "outputs"),
+    ])
+    assert "loading checkpoint" in res.stdout
+    # resumed run continues epoch numbering (solver restores the epoch
+    # counter): only epoch 3 runs
+    assert "epoch 3 starting" in res.stdout, res.stdout[-3000:]
+    assert "epoch 1 starting" not in res.stdout
+
+
+def test_convert_checkpoint_roundtrip(trained):
+    """Produced orbax checkpoint -> reference-named .pth -> orbax again,
+    bit-exact (the converter CLI on a REAL training artifact, not a synthetic
+    tree)."""
+    root, _, run_dir, _ = trained
+    pth = str(root / "model_last.pth")
+    back = str(root / "converted_back")
+    _run(["scripts/convert_checkpoint.py", os.path.join(run_dir, "model_last"), pth,
+          "--to-torch"])
+    _run(["scripts/convert_checkpoint.py", pth, back])
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        a = ckptr.restore(os.path.abspath(os.path.join(run_dir, "model_last")))
+        b = ckptr.restore(os.path.abspath(back))
+    import jax
+
+    fa = jax.tree_util.tree_leaves_with_path(a["params"])
+    fb = {tuple(str(p) for p in path): v
+          for path, v in jax.tree_util.tree_leaves_with_path(b["params"])}
+    assert fb, "converted-back checkpoint has no params"
+    for path, v in fa:
+        key = tuple(str(p) for p in path)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(fb[key]),
+                                      err_msg=str(key))
