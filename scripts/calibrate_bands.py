@@ -144,6 +144,17 @@ def main(argv=None):
         "--synthetic", action="store_true",
         help="calibrate on synthetic ScanRefer-scale scenes (no dataset needed)",
     )
+    ap.add_argument(
+        "--points", type=int, nargs="+", default=None,
+        help="with --synthetic: sweep these scene sizes (points per scene); "
+             "default uses the config's num_points only",
+    )
+    ap.add_argument(
+        "--emit-yaml", default=None, metavar="PATH",
+        help="write the recommendations as a band-profile yaml (TPU section) "
+             "that configs load via the band_profile key — the measured-"
+             "minima feedback loop, no hand-pasting",
+    )
     args = ap.parse_args(argv)
 
     from instancerefer_tpu.config import load_config
@@ -161,11 +172,15 @@ def main(argv=None):
             mean_size = np.linspace(0.3, 2.0, 18)[:, None] * np.array(
                 [[1.0, 0.9, 0.8]]
             )
-            for seed in range(args.batches):
-                yield make_batch(
-                    args.batch_size, spec, seed=seed, num_points=cfg.num_points,
-                    num_instances=12, num_candidates=4, mean_size_arr=mean_size,
-                )
+            sweep = args.points or [cfg.num_points]
+            for pts in sweep:
+                ninst = max(6, min(16, pts // 5000))
+                for seed in range(args.batches):
+                    yield make_batch(
+                        args.batch_size, spec, seed=seed, num_points=pts,
+                        num_instances=ninst, num_candidates=4,
+                        mean_size_arr=mean_size,
+                    )
         else:
             from instancerefer_tpu.data.dataset import (
                 PaddedLoader,
@@ -226,6 +241,7 @@ def main(argv=None):
         return caps[st - 1], caps[st]  # up: nbr over prev rows, gathers this stage
 
     problems = []
+    need_win = {}  # (name, prefix, stage) -> smallest drop-free window
     for prefix in ("scene", "inst"):
         for st in range(spec.num_stages):
             key = (prefix, st)
@@ -254,6 +270,7 @@ def main(argv=None):
                     for e in exts
                 ):
                     need += ALIGN
+                need_win[(name, prefix, st)] = need
                 problems.append(
                     f"#   {prefix} stage {st}: {yaml_key} window {have} "
                     f"drops with subwin {rec}; smallest drop-free window "
@@ -261,13 +278,92 @@ def main(argv=None):
                 )
     if problems:
         print("\n# WARNING: recommended subwins need WIDER windows (exact")
-        print("# replay of the band clamp found drops):")
+        print("# replay of the band clamp found drops); the emitted profile")
+        print("# widens them accordingly:")
         for p in problems:
             print(p)
     else:
         print("# window check (exact replay of the band clamp incl. the")
         print("# per-sample clip and center-offset chunks): current window")
         print("# profiles are drop-free with the recommendations above.")
+
+    if args.emit_yaml:
+        import subprocess
+        import time
+
+        def win128(n):
+            # windows must be >= subwin, 16-aligned; keep 128-multiples for
+            # VMEM-slice friendliness
+            return roundup128(n)
+
+        subm_w = win128(max(
+            [spec.pallas_window]
+            + [v for (nm, _, _), v in need_win.items() if nm == "subm"]
+        ))
+        up_w = win128(max(
+            [spec.pallas_up_window]
+            + [v for (nm, _, _), v in need_win.items() if nm == "up"]
+        ))
+
+        def down_sub(prefix):
+            # stages whose CURRENT profile disables down banding (subwin 0)
+            # stay on the XLA path — that is a measured perf choice
+            # (PERF.md), not a calibration gap; the tool only resizes bands
+            # where banding is on
+            out = []
+            for st in range(spec.num_stages):
+                if spec.down_geom_for(st, prefix)[2] <= 0:
+                    out.append(0)
+                else:
+                    out.append(recommend(down.get((prefix, st), 0), args.margin))
+            return out
+
+        def down_windows(prefix):
+            out = []
+            for st in range(spec.num_stages):
+                have = spec.down_geom_for(st, prefix)[1]
+                need = need_win.get(("down", prefix, st), 0)
+                sub = down_sub(prefix)[st]
+                # a disabled (subwin 0) stage keeps window 0; otherwise the
+                # window must at least hold the subwin
+                out.append(0 if not sub else win128(max(have, need, sub)))
+            return out
+
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+                text=True, timeout=10,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        except Exception:
+            sha = ""
+        src = (
+            f"synthetic points={args.points or [cfg.num_points]}"
+            if args.synthetic else f"dataset={args.data_root} split={args.split}"
+        )
+        lines = [
+            "# Band profile GENERATED by scripts/calibrate_bands.py — do not",
+            "# hand-edit; re-run the tool after changing capacities or data.",
+            f"# source: {src}, batches={args.batches}x{args.batch_size}, "
+            f"margin={args.margin}, git={sha}, "
+            f"generated={time.strftime('%Y-%m-%d')}",
+            "# zero-drop verified by exact replay of the band-clamp math over",
+            "# the measured per-chunk neighbor extents.",
+            "TPU:",
+            f"  pallas_window: {subm_w}",
+            f"  pallas_subwin: {profile(subm, 'scene')}",
+            f"  pallas_subwin_inst: {profile(subm, 'inst')}",
+            f"  pallas_down_window: {down_windows('scene')}",
+            f"  pallas_down_subwin: {down_sub('scene')}",
+            f"  pallas_down_window_inst: {down_windows('inst')}",
+            f"  pallas_down_subwin_inst: {down_sub('inst')}",
+            f"  pallas_up_window: {up_w}",
+            f"  pallas_up_subwin: {recommend(up_all, args.margin)}",
+            "",
+        ]
+        with open(args.emit_yaml, "w") as f:
+            f.write("\n".join(lines))
+        print(f"\n# wrote band profile: {args.emit_yaml}")
 
 
 if __name__ == "__main__":
