@@ -148,6 +148,18 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
     """
     if mesh is None:
         return jax.device_put(batch)
+    leaves = jax.tree_util.tree_leaves(batch)
+    if leaves and all(
+        isinstance(l, jax.Array)
+        and isinstance(getattr(l, "sharding", None), NamedSharding)
+        and l.sharding.mesh == mesh
+        for l in leaves
+    ):
+        # idempotence: the batch is already assembled/placed on this mesh
+        # (Solver.init_params re-shards its example batch; re-globalizing
+        # assembled global arrays would both corrupt indices and raise on
+        # np.asarray of non-addressable shards — found by the 2-process dryrun)
+        return batch
     sh = batch_sharding(mesh)
     sh_t = NamedSharding(mesh, P(None, "data"))
     pc = jax.process_count()
@@ -158,6 +170,16 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
         transposed = any(
             getattr(p, "name", None) in ("wsk3", "wskd", "wsktu") for p in path
         )
+        if (
+            isinstance(x, jax.Array)
+            and isinstance(getattr(x, "sharding", None), NamedSharding)
+            and x.sharding.mesh == mesh
+        ):
+            # already placed on this mesh (idempotence: Solver.init_params
+            # re-shards its example batch; on a multi-host run np.asarray of
+            # an assembled global array would raise — found by the 2-process
+            # dryrun)
+            return x
         if pc == 1:
             return jax.device_put(x, sh_t if transposed else sh)
         x = np.asarray(x)
@@ -173,10 +195,15 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
 def host_local(x) -> np.ndarray:
     """Fetch an array to host numpy; for multi-host globally-sharded arrays
     (not fully addressable), concatenate this process's addressable shards —
-    each host then sees exactly its own samples' rows."""
+    each host then sees exactly its own samples' rows.  Fully-replicated
+    arrays (e.g. the scalar loss on a multi-host mesh — found by the
+    2-process dryrun: device_get raises on non-addressable replicas, and 0-d
+    shards cannot concatenate) return any local replica directly."""
     try:
         return np.asarray(jax.device_get(x))
     except RuntimeError:
+        if getattr(x, "is_fully_replicated", False):
+            return np.asarray(x.addressable_shards[0].data)
         # Shard.index is a tuple of slice objects (not comparable directly);
         # order by the leading axis' start offset.
         shards = sorted(
