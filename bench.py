@@ -272,7 +272,9 @@ def main(batch_size: int = 32, iters: int = 20):
 
         def build_batch(pool):
             padded = list(pool.map(lambda c: pad_sample(c, spec), cores, chunksize=2))
-            dd = batch_to_device_dict(collate(padded, spec), spec)
+            # per-key parallel collate (safe: called from this thread, not
+            # from inside the pool)
+            dd = batch_to_device_dict(collate(padded, spec, pool=pool), spec)
             pop_band_diagnostics(dd)
             return dd
 

@@ -637,9 +637,9 @@ class PaddedLoader:
             scene_block=scene_block,
         )
 
-    def _finalize(self, batch, lang_grid=None):
+    def _finalize(self, batch, lang_grid=None, pool=None):
         return finalize_batch(batch, self.batch_size, self.spec,
-                              lang_grid=lang_grid)
+                              lang_grid=lang_grid, pool=pool)
 
     def _global_lang_grids(self, order, nb):
         """Per-batch bucketed language-grid length, computed from the GLOBAL
@@ -729,19 +729,43 @@ class PaddedLoader:
                 for t in tasks:
                     yield self._build_one(t)
 
-        batch, done = [], 0
-        for padded in gen_padded():
-            batch.append(padded)
-            if len(batch) == self.batch_size:
-                yield self._finalize(
-                    batch, lang_grids[done] if lang_grids else None
-                )
-                batch = []
-                done += 1
-                if done >= nb:
-                    return
-        if batch and done < nb and not self.drop_last:
-            yield self._finalize(batch, lang_grids[done] if lang_grids else None)
+        def gen_batches():
+            batch, done = [], 0
+            for padded in gen_padded():
+                batch.append(padded)
+                if len(batch) == self.batch_size:
+                    yield batch, (lang_grids[done] if lang_grids else None)
+                    batch = []
+                    done += 1
+                    if done >= nb:
+                        return
+            if batch and done < nb and not self.drop_last:
+                yield batch, (lang_grids[done] if lang_grids else None)
+
+        if self.num_workers <= 0:
+            for bl, grid in gen_batches():
+                yield self._finalize(bl, grid)
+            return
+
+        # Collate off the consumer thread: finalize runs double-buffered on a
+        # dedicated thread (batch b collates while the consumer processes
+        # b-1), and its per-key memory passes fan out over a small dedicated
+        # pool (np.copyto releases the GIL).  Serial collate (~7 ms/sample)
+        # would otherwise cap a many-core host's feed rate at ~140 samples/s
+        # against the chip's ~980 eval scenes/s.  Memory bound: at most two
+        # collated batches in flight on top of the sample window.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as fpool, \
+                ThreadPoolExecutor(min(4, self.num_workers)) as cpool:
+            fin = None
+            for bl, grid in gen_batches():
+                nxt = fpool.submit(self._finalize, bl, grid, cpool)
+                if fin is not None:
+                    yield fin.result()
+                fin = nxt
+            if fin is not None:
+                yield fin.result()
 
 
 class PredictedClassLoader:

@@ -19,6 +19,7 @@ exactly what data-parallel sharding over the ``data`` mesh axis needs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -485,6 +486,7 @@ def collate(
     samples: List[Dict[str, np.ndarray]],
     spec: BatchSpec,
     lang_grid: Optional[int] = None,
+    pool=None,
 ) -> Dict[str, np.ndarray]:
     """Stack per-sample arrays; flatten voxel blocks with index offsets.
 
@@ -498,6 +500,14 @@ def collate(
     ``lang_grid`` overrides the bucketed language-grid length (multi-host
     loaders compute it from the GLOBAL batch's lengths so every host collates
     the same T — ``PaddedLoader``); None derives it from this (local) batch.
+
+    ``pool``: optional ThreadPoolExecutor for the per-key memory passes.
+    Keys are independent and ``np.copyto`` releases the GIL, so the ~8 MB of
+    neighbor/band arrays per sample concatenate in parallel — without this
+    the serial collate (~7 ms/sample) caps a multi-core host's feed rate at
+    ~140 samples/s against the chip's ~980 eval scenes/s.  Must NOT be a
+    pool whose workers can themselves be running this collate (deadlock);
+    PaddedLoader owns a dedicated collate pool.
     """
     b = len(samples)
     cmax = spec.max_candidates
@@ -529,12 +539,10 @@ def collate(
         index values (rows of the referenced stage); ``signed`` preserves -1
         sentinels; transposed [K, n] metadata concatenates on axis 1.
 
-        collate runs serially in the main process (the per-sample heavy work
-        already happened in worker threads), so this is written as the
-        minimum number of memory passes: one copy into the preallocated
-        output + one masked in-place add per sample — no [B, ...] stack or
-        np.where temporaries (this box moves ~3.4 GB/s single-core; the
-        neighbor maps are the biggest arrays in the batch)."""
+        Written as the minimum number of memory passes: one copy into the
+        preallocated output + one masked in-place add per sample — no
+        [B, ...] stack or np.where temporaries (the neighbor maps are the
+        biggest arrays in the batch)."""
         a0 = samples[0][key]
         if axis == 0:
             n = a0.shape[0]
@@ -564,8 +572,24 @@ def collate(
                     d += a0.dtype.type(off)
         return dst
 
+    def owner_job(prefix, s_i):
+        ow = np.stack([s[f"{prefix}_owner_{s_i}"] for s in samples])
+        if prefix == "scene":
+            ids = np.broadcast_to(np.arange(b, dtype=np.int32)[:, None], ow.shape)
+        else:
+            ids = ow + (np.arange(b, dtype=np.int32) * cmax)[:, None]
+        return np.where(ow >= 0, ids, -1).reshape(-1)
+
+    # the per-key memory passes, collected as independent jobs so a pool can
+    # run them concurrently (np.copyto/np.concatenate release the GIL)
+    jobs: List = []
     for prefix, caps in (("scene", spec.scene_caps), ("inst", spec.inst_caps)):
-        out[f"{prefix}_feats"] = np.concatenate([s[f"{prefix}_feats"] for s in samples])
+        jobs.append((
+            f"{prefix}_feats",
+            functools.partial(
+                np.concatenate, [s[f"{prefix}_feats"] for s in samples]
+            ),
+        ))
         for dk in ("band_dropped", "band_total"):
             key = f"{prefix}_{dk}"
             if key in samples[0]:
@@ -577,20 +601,24 @@ def collate(
             out[gkey] = np.int64(geoms.pop())
         for s_i, cap in enumerate(caps):
             prev_cap = caps[s_i - 1] if s_i > 0 else 0
-            out[f"{prefix}_coords_{s_i}"] = np.concatenate(
-                [s[f"{prefix}_coords_{s_i}"] for s in samples]
-            )
-            ow = np.stack([s[f"{prefix}_owner_{s_i}"] for s in samples])
-            if prefix == "scene":
-                ids = np.broadcast_to(
-                    np.arange(b, dtype=np.int32)[:, None], ow.shape
-                )
-            else:
-                ids = ow + (np.arange(b, dtype=np.int32) * cmax)[:, None]
-            out[f"{prefix}_owner_{s_i}"] = np.where(ow >= 0, ids, -1).reshape(-1)
-            out[f"{prefix}_nbr3_{s_i}"] = cat_off(f"{prefix}_nbr3_{s_i}", cap)
+            jobs.append((
+                f"{prefix}_coords_{s_i}",
+                functools.partial(
+                    np.concatenate, [s[f"{prefix}_coords_{s_i}"] for s in samples]
+                ),
+            ))
+            jobs.append((
+                f"{prefix}_owner_{s_i}", functools.partial(owner_job, prefix, s_i)
+            ))
+            jobs.append((
+                f"{prefix}_nbr3_{s_i}",
+                functools.partial(cat_off, f"{prefix}_nbr3_{s_i}", cap),
+            ))
             if s_i > 0:
-                out[f"{prefix}_down_{s_i}"] = cat_off(f"{prefix}_down_{s_i}", prev_cap)
+                jobs.append((
+                    f"{prefix}_down_{s_i}",
+                    functools.partial(cat_off, f"{prefix}_down_{s_i}", prev_cap),
+                ))
             # per-sample precomputed metadata -> batch metadata by offsetting
             # with the INPUT-row space of each map (subm: this stage; down:
             # previous stage; up/up8: this stage)
@@ -607,7 +635,17 @@ def collate(
             )
             for key, off, signed, axis in meta:
                 if key in samples[0]:
-                    out[key] = cat_off(key, off, signed=signed, axis=axis)
+                    jobs.append((
+                        key,
+                        functools.partial(cat_off, key, off, signed=signed, axis=axis),
+                    ))
+    if pool is None:
+        for key, fn in jobs:
+            out[key] = fn()
+    else:
+        futs = [(key, pool.submit(fn)) for key, fn in jobs]
+        for key, f in futs:
+            out[key] = f.result()
     return out
 
 
@@ -616,6 +654,7 @@ def finalize_batch(
     batch_size: int,
     spec: BatchSpec,
     lang_grid: Optional[int] = None,
+    pool=None,
 ) -> Dict[str, np.ndarray]:
     """Collate, padding a partial batch to the static ``batch_size`` by
     repeating the last sample, so jit never sees a new *batch* shape.
@@ -634,7 +673,7 @@ def finalize_batch(
     assert 0 < valid <= batch_size, (valid, batch_size)
     while len(samples) < batch_size:
         samples.append(samples[-1])
-    out = collate(samples, spec, lang_grid=lang_grid)
+    out = collate(samples, spec, lang_grid=lang_grid, pool=pool)
     mask = np.zeros(batch_size, bool)
     mask[:valid] = True
     out["sample_valid"] = mask
