@@ -172,3 +172,32 @@ def test_convert_checkpoint_roundtrip(trained):
         key = tuple(str(p) for p in path)
         np.testing.assert_array_equal(np.asarray(v), np.asarray(fb[key]),
                                       err_msg=str(key))
+
+
+def test_train_eval_predicted_class_path(fake_root):
+    """use_gt_lang=False end-to-end: training drives PredictedClassLoader
+    (per-epoch language-only re-prediction) and eval runs the two-pass
+    predicted-class path (reference models/attribute_module.py:93-97) — the
+    CLI glue around both is otherwise only unit-tested."""
+    root, yaml_path = fake_root
+    pc_yaml = root / "predcls.yaml"
+    pc_yaml.write_text(
+        open(yaml_path).read()
+        .replace("use_gt_lang: True", "use_gt_lang: False")
+        .replace("epoch: 2", "epoch: 1")
+    )
+    flags = [
+        "--config", str(pc_yaml),
+        "--log_dir", "predclsrun",
+        "--data_root", str(root),
+        "--output_root", str(root / "outputs"),
+    ]
+    res = _run(["scripts/train.py"] + flags)
+    assert "start training" in res.stdout
+    run_dirs = glob.glob(
+        str(root / "outputs" / "ScanRefer" / "predclsrun" / "checkpoints" / "*")
+    )
+    assert len(run_dirs) == 1
+    res = _run(["scripts/eval.py"] + flags)
+    assert "pass 1 done: predicted classes" in res.stdout
+    assert "acc@0.25" in res.stdout
