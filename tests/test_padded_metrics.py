@@ -81,6 +81,7 @@ def test_num_missed_counts_valid_rows_only(clean_and_padded):
     assert int(out_dup["num_missed"]) == int(out_clean["num_missed"])
 
 
+@pytest.mark.slow  # compiles a full train step (~3.5 min on this box)
 def test_tail_batch_train_step_grads_match_clean():
     """A loader-finalized tail batch (duplicated rows, owners cleared) must
     produce EXACTLY the clean smaller batch's loss, parameter gradients, and

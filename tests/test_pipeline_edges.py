@@ -406,6 +406,7 @@ def test_best_dict_structurally_stable(tmp_path):
     assert set(s.best) == update_keys
 
 
+@pytest.mark.slow  # compiles a full train step (~3.5 min on this box)
 def test_solver_epoch_iou_counters(tmp_path):
     """One full Solver epoch (train + val) on a tiny synthetic loader.
 
