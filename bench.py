@@ -93,12 +93,9 @@ def main(batch_size: int = 32, iters: int = 20):
         "band_profile.synthetic.yaml",
     )
     if os.path.exists(prof_path):
-        import yaml
+        from instancerefer_tpu.config import band_profile_kwargs
 
-        tpu = (yaml.safe_load(open(prof_path)) or {}).get("TPU", {})
-        for k, v in tpu.items():
-            if k.startswith("pallas_"):
-                spec_kwargs[k] = tuple(v) if isinstance(v, list) else v
+        spec_kwargs.update(band_profile_kwargs(prof_path))
         print(f"[bench] band profile: {prof_path}", file=sys.stderr)
     spec = BatchSpec(**spec_kwargs)
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
@@ -221,13 +218,13 @@ def main(batch_size: int = 32, iters: int = 20):
     e2e_scenes_per_sec = 0.0
     e2e_with_transfer = 0.0
     e2e_workers = min(4, os.cpu_count() or 1)
+    n_e2e = 5
     phase_ms: dict = {}
     try:
         from concurrent.futures import ThreadPoolExecutor
 
         from instancerefer_tpu.data.pipeline import collate, pad_sample
         from instancerefer_tpu.data.synthetic import make_core_sample
-        from instancerefer_tpu.ops import voxelize as _V
 
         rng = np.random.default_rng(1)
         cores = [
@@ -238,37 +235,20 @@ def main(batch_size: int = 32, iters: int = 20):
             for i in range(batch_size)
         ]
 
-        # per-sample phase split (medians of 5) on one representative core
-        def _med(fn, reps=5):
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                fn()
-                ts.append((time.perf_counter() - t0) * 1e3)
-            return float(np.median(ts))
-
-        pc0 = cores[0].point_cloud
-        q = {}
-
-        def _quant():
-            q["c"], q["f"] = _V.quantize(
-                pc0[:, :3], pc0[:, : spec.feat_dim], 0.05,
-                raster_order=spec.pallas_conv,
-            )
-
-        _quant()
-        phase_ms["quantize"] = _med(_quant)
-        phase_ms["scene_pyramid"] = _med(
-            lambda: _V.build_pyramid_padded(
-                [q["c"]], [0], spec.scene_caps, raster=spec.pallas_conv
-            )
+        # per-sample phase split on one representative core — the SAME
+        # implementation scripts/bench_host_pipeline.py reports, so the JSON
+        # artifact and the dedicated host bench can never disagree
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
         )
-        phase_ms["pad_sample"] = _med(lambda: pad_sample(cores[0], spec))
-        padded_once = [pad_sample(c, spec) for c in cores]
-        phase_ms["collate"] = _med(lambda: collate(padded_once, spec))
-        print(f"[bench] host phase split (ms, median of 5): {phase_ms}", file=sys.stderr)
+        from bench_host_pipeline import median_ms, phase_split
 
-        n_e2e = 5
+        phase_ms.update(phase_split(cores[0], spec, reps=5))
+        padded_once = [pad_sample(c, spec) for c in cores]
+        phase_ms["collate_ms"] = median_ms(
+            lambda: collate(padded_once, spec), reps=5
+        )
+        print(f"[bench] host phase split (ms, median of 5): {phase_ms}", file=sys.stderr)
 
         def build_batch(pool):
             padded = list(pool.map(lambda c: pad_sample(c, spec), cores, chunksize=2))
@@ -393,7 +373,7 @@ def main(batch_size: int = 32, iters: int = 20):
                 # must be attributable from this artifact alone (VERDICT r3)
                 "host_phase_ms": {k: round(v, 2) for k, v in phase_ms.items()},
                 "e2e_workers": e2e_workers,
-                "e2e_median_of": 5,
+                "e2e_median_of": n_e2e,
                 "native_voxelizer": native_available(),
                 "nproc": os.cpu_count(),
                 "git_sha": git_sha,

@@ -100,8 +100,9 @@ class Config:
     pallas_up_window: int = 512
     pallas_up_subwin: int = 384
     # bucketed language grid (data/pipeline.BatchSpec.lang_bucket — the
-    # pack_padded_sequence analog); 0 = fixed max_des_len grid.  Forced to 0
-    # on multi-host runs (per-host batches must agree on global shapes).
+    # pack_padded_sequence analog); 0 = fixed max_des_len grid.  Multi-host
+    # safe: hosts derive each batch's bucket from the shared global epoch
+    # plan (PaddedLoader._global_lang_grids), so per-host shapes agree.
     lang_bucket: int = 32
     # measured band-geometry profile: a yaml written by
     # scripts/calibrate_bands.py --emit-yaml, overlaid onto the pallas_*
@@ -225,6 +226,20 @@ def _flatten_yaml(cfg_file: str) -> Dict[str, Any]:
     return flat
 
 
+def band_profile_kwargs(path: str) -> Dict[str, Any]:
+    """The ONE policy for mapping a ``calibrate_bands.py --emit-yaml`` profile
+    onto pallas_* band-geometry kwargs (Config fields / BatchSpec kwargs):
+    every ``pallas_*`` key across sections, yaml lists become tuples.  Shared
+    by ``load_config``, ``bench.py``, and the band-profile tests so the
+    overlay policy can never drift between train/eval, the bench artifact,
+    and CI."""
+    return {
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in _flatten_yaml(path).items()
+        if k.startswith("pallas_") and v is not None
+    }
+
+
 def load_config(argv: Optional[List[str]] = None) -> Config:
     """CLI flags (lib/config.py:10-17) + YAML sections -> Config."""
     parser = argparse.ArgumentParser(description="InstanceRefer-TPU")
@@ -256,8 +271,8 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
                 f"band_profile {cfg.band_profile!r} not found — regenerate it "
                 "with scripts/calibrate_bands.py --emit-yaml"
             )
-        for k, v in _flatten_yaml(prof).items():
-            if k in known and v is not None:
+        for k, v in band_profile_kwargs(prof).items():
+            if k in known:
                 setattr(cfg, k, v)
     for k in ["gpu", "config", "log_dir", "debug", "pretrain", "data_root", "output_root"]:
         setattr(cfg, k, getattr(args, k))

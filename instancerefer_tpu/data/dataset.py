@@ -202,7 +202,7 @@ class ScannetReferenceDataset:
         self._multiview = None
         self._mv_lock = threading.Lock()
         # Deterministic PER-SCENE point sampling for non-train splits (default
-        # on when augmentation is off): all ~65 annotations of a scene share
+        # on for val/test when augmentation is off): all ~65 annotations share
         # one 40k subsample + instance grouping, drawn from a scene-keyed RNG
         # instead of a per-annotation one.  Deliberate deviation from the
         # reference (lib/dataset.py:125 draws per annotation): each draw is
@@ -211,7 +211,12 @@ class ScannetReferenceDataset:
         # cacheable across annotations AND epochs — the val feed drops from
         # ~65 pyramid builds per scene to 1.  Train (augment on) never uses it.
         if static_scene_sampling is None:
-            static_scene_sampling = not self.augment
+            # Default on for non-train splits only: a train run with
+            # use_augment=False must still redraw the 40k subsample and
+            # instance draws every epoch (reference lib/dataset.py:125
+            # samples per annotation) — freezing them would silently
+            # collapse training-data diversity.  Explicit opt-in still wins.
+            static_scene_sampling = not self.augment and split != "train"
         self.static_scene_sampling = static_scene_sampling and not self.augment
         # (point_cloud, instance grouping) per scene — deterministic bundles
         self._bundle_cache = _CoalescingLRU(max_entries=scene_cache_size)
@@ -310,17 +315,21 @@ class ScannetReferenceDataset:
                 )
             return np.array(self._multiview[scene_id])
 
+    @staticmethod
+    def _count_lang_len(tokens) -> int:
+        """The ONE definition of lang_len (non-whitespace tokens, capped at
+        MAX_DES_LEN=126, lib/dataset.py:76-92) — shared by ``get_lang`` and
+        ``lang_lengths`` so the multi-host bucketed grid can never drift from
+        the lengths the collate actually emits."""
+        return min(len([t for t in tokens if not t.isspace()]), 126)
+
     def lang_lengths(self) -> np.ndarray:
-        """All samples' lang_len (the ``get_lang`` count: non-whitespace
-        tokens capped at 126), computed once from the annotation JSON — no
+        """All samples' lang_len, computed once from the annotation JSON — no
         GloVe lookups or scene IO.  Lets every host derive the GLOBAL batch's
         bucketed language grid symmetrically (multi-host lang_bucket)."""
         if getattr(self, "_lang_lens", None) is None:
             self._lang_lens = np.array(
-                [
-                    min(len([t for t in d["token"] if not t.isspace()]), 126)
-                    for d in self.scanrefer
-                ],
+                [self._count_lang_len(d["token"]) for d in self.scanrefer],
                 np.int32,
             )
         return self._lang_lens
@@ -345,7 +354,7 @@ class ScannetReferenceDataset:
         # token precedes the last real token, the trailing tokens fall past
         # the length mask, exactly as the reference's pack_padded_sequence
         # drops them.
-        lang_len = min(len([t for t in tokens if not t.isspace()]), max_len)
+        lang_len = self._count_lang_len(tokens)
         return emb, lang_len
 
     def _assemble_points(self, scene_id: str, rng: np.random.Generator):

@@ -41,8 +41,9 @@ class BatchSpec:
     # the GRU scan runs ~max(lang_len) steps instead of always max_tokens.
     # Static-shape cost: one jit recompile per distinct bucket (at most
     # max_tokens/lang_bucket programs, served by the persistent compile
-    # cache).  0 disables (fixed max_tokens grid — required for multi-host
-    # runs, where per-host batches must agree on every global shape).
+    # cache).  0 disables (fixed max_tokens grid).  Multi-host runs stay
+    # shape-consistent because PaddedLoader._global_lang_grids derives each
+    # batch's bucket from GLOBAL lengths shared by every host.
     lang_bucket: int = 0
     max_instances: int = 128  # MAX_NUM_OBJ (lib/dataset.py:21)
     max_candidates: int = 16

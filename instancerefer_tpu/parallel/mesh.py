@@ -89,12 +89,20 @@ def globalize_batch_indices(
     def off(a, k, preserve_neg=True):
         if a is None or a.size == 0 or k == 0:
             return a
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            # already assembled into a global array by a previous shard_batch
+            # — its indices are already global; np.asarray would raise on the
+            # non-addressable shards and rebasing again would corrupt it
+            return a
         a = np.asarray(a)
         k = a.dtype.type(k)
         return np.where(a >= 0, a + k, a) if preserve_neg else a + k
 
-    cand_mask = np.asarray(dd["cand_mask"])
+    cand_mask = dd["cand_mask"]
     local_b, cmax = int(cand_mask.shape[0]), int(cand_mask.shape[1])
+    if isinstance(cand_mask, jax.Array) and not cand_mask.is_fully_addressable:
+        # cand_mask is already global: its batch dim is global, not host-local
+        local_b //= pc
     out = dict(dd)
     for key, seg in (("scene_pyramid", local_b), ("inst_pyramid", local_b * cmax)):
         stages = dd.get(key)
@@ -175,10 +183,11 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]):
             and isinstance(getattr(x, "sharding", None), NamedSharding)
             and x.sharding.mesh == mesh
         ):
-            # already placed on this mesh (idempotence: Solver.init_params
-            # re-shards its example batch; on a multi-host run np.asarray of
-            # an assembled global array would raise — found by the 2-process
-            # dryrun)
+            # already placed on this mesh — skip the device_put/assembly.
+            # (For multi-host batches the real protection is the whole-batch
+            # precheck above plus globalize_batch_indices' own skip of
+            # non-fully-addressable leaves: by the time place() runs,
+            # globalization has already happened.)
             return x
         if pc == 1:
             return jax.device_put(x, sh_t if transposed else sh)

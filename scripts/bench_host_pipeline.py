@@ -18,17 +18,32 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if __name__ == "__main__":  # script-mode side effects only
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
+
+
+def median_ms(fn, reps=7, warm=True):
+    """Median wall-clock milliseconds of ``fn`` over ``reps`` runs — the one
+    timing discipline every host-side measurement uses (VERDICT r3: no more
+    single-shot numbers on the 1-core box)."""
+    if warm:
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
 
 
 def phase_split(core, spec, voxel_size_glp=0.05, reps=7):
     """Per-sample phase timings, medians of ``reps`` (the scene pyramid path,
     the dominant cost).  Uses the production fused path
-    (``build_pyramid_padded`` — one native call per pyramid)."""
+    (``build_pyramid_padded`` — one native call per pyramid).  Shared with
+    ``bench.py``'s JSON artifact so the two measurements cannot drift."""
     from instancerefer_tpu.data.pipeline import pad_sample
     from instancerefer_tpu.ops import voxelize as V
 

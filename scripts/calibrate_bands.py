@@ -156,6 +156,12 @@ def main(argv=None):
              "minima feedback loop, no hand-pasting",
     )
     args = ap.parse_args(argv)
+    if args.points and not args.synthetic:
+        ap.error(
+            "--points only applies with --synthetic; real-dataset calibration "
+            "uses the dataset's own scenes (re-run with --synthetic, or drop "
+            "--points)"
+        )
 
     from instancerefer_tpu.config import load_config
 

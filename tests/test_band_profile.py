@@ -18,17 +18,10 @@ MEAN_SIZE = np.linspace(0.3, 2.0, 18)[:, None] * np.array([[1.0, 0.9, 0.8]])
 
 
 def _spec_with_profile(path):
-    import yaml
-
+    from instancerefer_tpu.config import band_profile_kwargs
     from instancerefer_tpu.data.pipeline import BatchSpec
 
-    tpu = (yaml.safe_load(open(path)) or {}).get("TPU", {})
-    kw = {
-        k: tuple(v) if isinstance(v, list) else v
-        for k, v in tpu.items()
-        if k.startswith("pallas_")
-    }
-    return BatchSpec(pallas_conv=True, **kw)
+    return BatchSpec(pallas_conv=True, **band_profile_kwargs(path))
 
 
 def test_calibrate_emit_yaml_roundtrip(tmp_path):

@@ -401,6 +401,19 @@ def test_static_scene_sampling_shares_bundle(fake_data_root):
     t1 = ds_t.get_core(0, np.random.default_rng(1))
     t2 = ds_t.get_core(0, np.random.default_rng(2))
     assert not np.allclose(t1.point_cloud, t2.point_cloud)
+    # train split with augmentation OFF still defaults to per-annotation
+    # redraws (reference lib/dataset.py:125) — freezing the 40k subsample
+    # across epochs would silently collapse training-data diversity
+    from instancerefer_tpu.data.dataset import ScannetReferenceDataset
+
+    ds_na = ScannetReferenceDataset(
+        scanrefer, "train", data_root=root, num_points=500,
+        use_augment=False, seed=7,
+    )
+    assert not ds_na.static_scene_sampling
+    n1 = ds_na.get_core(0, np.random.default_rng(1))
+    n2 = ds_na.get_core(0, np.random.default_rng(2))
+    assert not np.allclose(n1.point_cloud, n2.point_cloud)
 
 
 def test_scene_block_cache_hit_matches_recompute(fake_data_root):
