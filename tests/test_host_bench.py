@@ -34,12 +34,18 @@ def test_phase_split_schema_and_median_ms():
         points_per_instance=128, num_candidates=2, mean_size_arr=mean_size,
     )
     spec = BatchSpec(pallas_conv=True)
-    out = hb.phase_split(core, spec, reps=1)
-    # bench.py emits these keys verbatim as host_phase_ms (plus collate_ms)
-    assert set(out) == {
-        "quantize_ms", "pyramid_ms", "band_metadata_ms", "pad_sample_total_ms"
-    }, out
+    out = hb.phase_split(core, spec, reps=3)
+    # bench.py emits these keys verbatim as host_phase_ms (plus collate_ms).
+    # The split is measured INSIDE pad_sample (VERDICT r4 #3): named phases
+    # must cover >= 85% of the total by construction.
+    required = {
+        "scene_quantize_ms", "scene_pyramid_ms", "scene_bands_ms",
+        "scene_inverse_ms", "inst_pyramid_ms", "sample_misc_ms",
+        "pad_sample_total_ms", "accounted_frac",
+    }
+    assert required <= set(out), (required - set(out), out)
     assert all(np.isfinite(v) and v >= 0 for v in out.values()), out
+    assert out["accounted_frac"] >= 0.85, out
 
     ticks = []
     m = hb.median_ms(lambda: ticks.append(1), reps=3)
