@@ -237,11 +237,21 @@ def main(batch_size: int = 32, iters: int = 20):
 
         # per-sample phase split on one representative core — the SAME
         # implementation scripts/bench_host_pipeline.py reports, so the JSON
-        # artifact and the dedicated host bench can never disagree
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        # artifact and the dedicated host bench can never disagree.  Loaded
+        # by file path (not sys.path) so scripts/ can never shadow later
+        # imports of same-named modules (ADVICE r4).
+        import importlib.util
+
+        _bhp_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts",
+            "bench_host_pipeline.py",
         )
-        from bench_host_pipeline import median_ms, phase_split
+        _bhp_spec = importlib.util.spec_from_file_location(
+            "bench_host_pipeline", _bhp_path
+        )
+        _bhp = importlib.util.module_from_spec(_bhp_spec)
+        _bhp_spec.loader.exec_module(_bhp)
+        median_ms, phase_split = _bhp.median_ms, _bhp.phase_split
 
         phase_ms.update(phase_split(cores[0], spec, reps=5))
         padded_once = [pad_sample(c, spec) for c in cores]

@@ -254,11 +254,13 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
 
     cfg = Config()
     known = {f.name for f in dataclasses.fields(Config)}
+    explicit = set()
     if args.config and os.path.exists(args.config):
         flat = _flatten_yaml(args.config)
         for k, v in flat.items():
             if k in known and v is not None:
                 setattr(cfg, k, v)
+                explicit.add(k)
     if cfg.band_profile:
         # overlay the calibrated band geometry (relative paths resolve
         # against the main config's directory, then the cwd)
@@ -271,9 +273,24 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
                 f"band_profile {cfg.band_profile!r} not found — regenerate it "
                 "with scripts/calibrate_bands.py --emit-yaml"
             )
+        overridden = []
         for k, v in band_profile_kwargs(prof).items():
             if k in known:
+                # a hand-set pallas_* key in the main yaml loses to the
+                # profile — say so instead of silently ignoring it
+                # (ADVICE r4: one policy, no quiet shadowing)
+                if k in explicit and getattr(cfg, k) != v:
+                    overridden.append(k)
                 setattr(cfg, k, v)
+        if overridden:
+            import warnings
+
+            warnings.warn(
+                f"band_profile {prof!r} overrides values the main config "
+                f"set explicitly: {sorted(overridden)} — remove them from "
+                "the yaml or drop band_profile to hand-tune",
+                stacklevel=2,
+            )
     for k in ["gpu", "config", "log_dir", "debug", "pretrain", "data_root", "output_root"]:
         setattr(cfg, k, getattr(args, k))
     return cfg

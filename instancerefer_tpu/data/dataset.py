@@ -26,6 +26,7 @@ import collections
 import json
 import os
 import pickle
+import sys
 import threading
 from typing import Dict, List, Optional
 
@@ -218,6 +219,17 @@ class ScannetReferenceDataset:
             # collapse training-data diversity.  Explicit opt-in still wins.
             static_scene_sampling = not self.augment and split != "train"
         self.static_scene_sampling = static_scene_sampling and not self.augment
+        if self.static_scene_sampling:
+            # self-describing runs (ADVICE r4): this deviation changes which
+            # points eval sees vs reference-evaluated checkpoints, so say so
+            # once up front rather than only in docstrings / DEVIATIONS.md
+            print(
+                f"[dataset] static_scene_sampling ON for split={split!r}: one "
+                "deterministic 40k subsample + instance draw per scene, shared "
+                "by all its annotations (deviation from reference per-annotation "
+                "sampling, lib/dataset.py:125 — see DEVIATIONS.md D1)",
+                file=sys.stderr,
+            )
         # (point_cloud, instance grouping) per scene — deterministic bundles
         self._bundle_cache = _CoalescingLRU(max_entries=scene_cache_size)
         # padded scene voxel blocks (build_scene_block results, ~7 MB each at

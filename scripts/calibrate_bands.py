@@ -120,13 +120,10 @@ def calibrate(batches, spec, margin):
                 if s > 0:
                     d = batch[f"{prefix}_down_{s}"]
                     acc(down, "down", key, d, spec.pallas_down_chunk)
-                    from instancerefer_tpu.ops.voxelize import invert_down
+                    from instancerefer_tpu.ops.voxelize import build_up8, invert_down
 
                     up_row, up_k = invert_down(d, prev_v)
-                    up8 = np.where(
-                        up_k[:, None] == np.arange(8, dtype=np.int32)[None, :],
-                        up_row[:, None], -1,
-                    ).astype(np.int32)
+                    up8 = build_up8(up_row, up_k)
                     acc(up, "up", key, up8, spec.pallas_chunk)
                 prev_v = nbr3.shape[0]
     return subm, down, up, extents
@@ -247,7 +244,10 @@ def main(argv=None):
         return caps[st - 1], caps[st]  # up: nbr over prev rows, gathers this stage
 
     problems = []
-    need_win = {}  # (name, prefix, stage) -> smallest drop-free window
+    # (name, prefix, stage) -> smallest drop-free window, searched upward
+    # from the recommended SUBWIN (not from the current config's window, so
+    # re-calibration can TIGHTEN windows too — ADVICE r4: no ratchet)
+    need_win = {}
     for prefix in ("scene", "inst"):
         for st in range(spec.num_stages):
             key = (prefix, st)
@@ -265,18 +265,15 @@ def main(argv=None):
                 if not rec or not exts:
                     continue
                 cap_out, cap_in = caps_for(prefix, st, name)
-                if not any(
-                    drops_exist(e, chunk, have, rec, cap_out, cap_in)
-                    for e in exts
-                ):
-                    continue
-                need = have
+                need = rec
                 while need < cap_in and any(
                     drops_exist(e, chunk, need, rec, cap_out, cap_in)
                     for e in exts
                 ):
                     need += ALIGN
                 need_win[(name, prefix, st)] = need
+                if need <= have:
+                    continue
                 problems.append(
                     f"#   {prefix} stage {st}: {yaml_key} window {have} "
                     f"drops with subwin {rec}; smallest drop-free window "
@@ -302,14 +299,14 @@ def main(argv=None):
             # VMEM-slice friendliness
             return roundup128(n)
 
-        subm_w = win128(max(
-            [spec.pallas_window]
-            + [v for (nm, _, _), v in need_win.items() if nm == "subm"]
-        ))
-        up_w = win128(max(
-            [spec.pallas_up_window]
-            + [v for (nm, _, _), v in need_win.items() if nm == "up"]
-        ))
+        # windows come from the measured drop-free minima ALONE (the current
+        # config's values are not a floor): re-calibration can tighten as
+        # well as widen.  A map with no recorded extents keeps the current
+        # window (nothing measured to base a change on).
+        subm_needs = [v for (nm, _, _), v in need_win.items() if nm == "subm"]
+        up_needs = [v for (nm, _, _), v in need_win.items() if nm == "up"]
+        subm_w = win128(max(subm_needs)) if subm_needs else spec.pallas_window
+        up_w = win128(max(up_needs)) if up_needs else spec.pallas_up_window
 
         def down_sub(prefix):
             # stages whose CURRENT profile disables down banding (subwin 0)
@@ -327,12 +324,12 @@ def main(argv=None):
         def down_windows(prefix):
             out = []
             for st in range(spec.num_stages):
-                have = spec.down_geom_for(st, prefix)[1]
                 need = need_win.get(("down", prefix, st), 0)
                 sub = down_sub(prefix)[st]
                 # a disabled (subwin 0) stage keeps window 0; otherwise the
-                # window must at least hold the subwin
-                out.append(0 if not sub else win128(max(have, need, sub)))
+                # window is the measured drop-free minimum (>= the subwin) —
+                # never floored at the current config's value
+                out.append(0 if not sub else win128(max(need, sub)))
             return out
 
         try:
