@@ -109,6 +109,12 @@ class Config:
     # keys above at load time — so shipped geometry is provably derived
     # from measurement, not hand-tuning (None = use the keys as written)
     band_profile: Optional[str] = None
+    # eval-time capacity-overflow policy: the reference evaluates ragged,
+    # uncapped lists (lib/dataset.py:207-245), so ANY cap overflow at eval is
+    # a silent metric deviation — scripts/eval.py fails loud on overflow > 0
+    # unless this is set (CLI --allow_overflow downgrades to a warning).
+    # Fit caps to the data with scripts/calibrate_bands.py --fit-caps.
+    allow_overflow: bool = False
     # paths (lib/config.py:34-70 tree, rooted at --data_root)
     data_root: str = "data"
     output_root: str = "outputs"
@@ -226,17 +232,21 @@ def _flatten_yaml(cfg_file: str) -> Dict[str, Any]:
     return flat
 
 
+_PROFILE_CAP_KEYS = ("scene_caps", "inst_caps", "max_candidates", "max_instances")
+
+
 def band_profile_kwargs(path: str) -> Dict[str, Any]:
     """The ONE policy for mapping a ``calibrate_bands.py --emit-yaml`` profile
     onto pallas_* band-geometry kwargs (Config fields / BatchSpec kwargs):
-    every ``pallas_*`` key across sections, yaml lists become tuples.  Shared
-    by ``load_config``, ``bench.py``, and the band-profile tests so the
-    overlay policy can never drift between train/eval, the bench artifact,
-    and CI."""
+    every ``pallas_*`` key across sections plus the fitted capacity keys
+    (``--fit-caps``: scene/inst_caps, max_candidates, max_instances); yaml
+    lists become tuples.  Shared by ``load_config``, ``bench.py``, and the
+    band-profile tests so the overlay policy can never drift between
+    train/eval, the bench artifact, and CI."""
     return {
         k: tuple(v) if isinstance(v, list) else v
         for k, v in _flatten_yaml(path).items()
-        if k.startswith("pallas_") and v is not None
+        if (k.startswith("pallas_") or k in _PROFILE_CAP_KEYS) and v is not None
     }
 
 
@@ -250,6 +260,10 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
     parser.add_argument("--pretrain", type=str, default="")
     parser.add_argument("--data_root", type=str, default="data")
     parser.add_argument("--output_root", type=str, default="outputs")
+    parser.add_argument(
+        "--allow_overflow", action="store_true",
+        help="downgrade the eval-time capacity-overflow failure to a warning",
+    )
     args = parser.parse_args(argv)
 
     cfg = Config()
@@ -293,4 +307,6 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
             )
     for k in ["gpu", "config", "log_dir", "debug", "pretrain", "data_root", "output_root"]:
         setattr(cfg, k, getattr(args, k))
+    if args.allow_overflow:
+        cfg.allow_overflow = True
     return cfg

@@ -92,6 +92,94 @@ def roundup128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def fit_caps(cores, spec, cap_margin: float):
+    """Measure the capacity requirements of real samples (VERDICT r4 #2):
+    per-stage UNCAPPED pyramid row counts (``build_pyramid_padded`` reports
+    pre-truncation merged counts whatever the caps), candidate counts under
+    the GT-class filter (the default ``use_gt_lang: True`` semantics the
+    pipeline uses at data time), and instance counts.  Returns
+    (recommendations dict, distribution stats dict).
+
+    Recommended caps are ``ceil(max * (1 + cap_margin))`` rounded up to the
+    band chunk (so banding stays available); max_candidates/max_instances
+    round to multiples of 4/8.  The reference keeps every voxel/candidate in
+    ragged lists (lib/dataset.py:207-245) — fitted caps + the eval overflow
+    gate are how the padded design matches that without silent truncation.
+    """
+    from instancerefer_tpu.ops import voxelize as V
+
+    ns = spec.num_stages
+    scene_counts = []  # [n_samples, ns]
+    inst_counts = []
+    n_cand, n_inst = [], []
+    for core in cores:
+        pc = core.point_cloud
+        coords, _ = V.quantize(
+            pc[:, :3], pc[:, :1], 0.05, raster_order=spec.pallas_conv
+        )
+        _, counts = V.build_pyramid_padded(
+            [coords], [0], spec.scene_caps, raster=spec.pallas_conv
+        )
+        scene_counts.append(counts)
+        fclass = (
+            core.object_cat if core.filter_class is None else core.filter_class
+        )
+        cand = [
+            i for i, c in enumerate(core.instance_class) if int(c) == fclass
+        ]
+        n_cand.append(len(cand))
+        n_inst.append(len(core.instance_points))
+        if len(cand) >= 2:
+            gc = []
+            for i in cand[: spec.max_candidates]:
+                pts = core.instance_points[i]
+                c, _ = V.quantize(
+                    pts[:, :3], pts[:, :1], 0.02, raster_order=spec.pallas_conv
+                )
+                gc.append(c)
+            _, counts = V.build_pyramid_padded(
+                gc, range(len(gc)), spec.inst_caps, raster=spec.pallas_conv
+            )
+            inst_counts.append(counts)
+    scene_counts = np.asarray(scene_counts)
+    inst_counts = (
+        np.asarray(inst_counts) if inst_counts else np.zeros((1, ns), np.int64)
+    )
+
+    chunk = max(spec.pallas_chunk, spec.pallas_down_chunk)
+
+    def cap_profile(counts):
+        out = []
+        for s in range(ns):
+            need = int(np.ceil(counts[:, s].max() * (1.0 + cap_margin)))
+            out.append(max(-(-need // chunk) * chunk, chunk))
+        return out
+
+    def r4(n):
+        return max(-(-n // 4) * 4, 4)
+
+    rec = {
+        "scene_caps": cap_profile(scene_counts),
+        "inst_caps": cap_profile(inst_counts),
+        "max_candidates": r4(int(np.ceil(max(n_cand) * (1.0 + cap_margin)))),
+        "max_instances": max(
+            -(-int(np.ceil(max(n_inst) * (1.0 + cap_margin))) // 8) * 8, 8
+        ),
+    }
+    stats = {
+        "samples": len(scene_counts),
+        "scene_p50": np.percentile(scene_counts, 50, axis=0).astype(int).tolist(),
+        "scene_p95": np.percentile(scene_counts, 95, axis=0).astype(int).tolist(),
+        "scene_max": scene_counts.max(axis=0).astype(int).tolist(),
+        "inst_p50": np.percentile(inst_counts, 50, axis=0).astype(int).tolist(),
+        "inst_p95": np.percentile(inst_counts, 95, axis=0).astype(int).tolist(),
+        "inst_max": inst_counts.max(axis=0).astype(int).tolist(),
+        "cand_max": int(max(n_cand)),
+        "inst_count_max": int(max(n_inst)),
+    }
+    return rec, stats
+
+
 def recommend(minimum: int, margin: int) -> int:
     """Smallest 128-multiple with at least ``margin`` rows of slack (the MXU
     lane-pads sub-windows to 128 multiples, so finer steps buy nothing)."""
@@ -152,6 +240,18 @@ def main(argv=None):
              "that configs load via the band_profile key — the measured-"
              "minima feedback loop, no hand-pasting",
     )
+    ap.add_argument(
+        "--fit-caps", action="store_true",
+        help="also fit the padded CAPACITIES (scene_caps/inst_caps/"
+             "max_candidates/max_instances) to the measured distribution, so "
+             "overflow is zero by construction on this data; the band "
+             "calibration then runs under the fitted caps and the emitted "
+             "profile carries both",
+    )
+    ap.add_argument(
+        "--cap-margin", type=float, default=0.10,
+        help="fractional headroom above the measured maximum for --fit-caps",
+    )
     args = ap.parse_args(argv)
     if args.points and not args.synthetic:
         ap.error(
@@ -167,6 +267,64 @@ def main(argv=None):
     import dataclasses
 
     spec = dataclasses.replace(spec, pallas_conv=True)
+
+    def real_dataset():
+        from instancerefer_tpu.data.dataset import (
+            ScannetReferenceDataset,
+            get_scanrefer,
+        )
+
+        scanrefer = get_scanrefer(args.data_root, args.split)
+        return ScannetReferenceDataset(
+            scanrefer, args.split, data_root=args.data_root,
+            num_points=cfg.num_points, use_augment=False,
+            use_color=cfg.use_color, use_normal=cfg.use_normal,
+            use_multiview=cfg.use_multiview, use_height=cfg.use_height,
+        )
+
+    def cores():
+        n = args.batches * args.batch_size
+        if args.synthetic:
+            from instancerefer_tpu.data.synthetic import make_core_sample
+
+            mean_size = np.linspace(0.3, 2.0, 18)[:, None] * np.array(
+                [[1.0, 0.9, 0.8]]
+            )
+            sweep = args.points or [cfg.num_points]
+            for pts in sweep:
+                ninst = max(6, min(16, pts // 5000))
+                rng = np.random.default_rng(0)
+                for i in range(n):
+                    yield make_core_sample(
+                        rng, num_points=pts, num_instances=ninst,
+                        num_candidates=4, scan_idx=i, mean_size_arr=mean_size,
+                    )
+        else:
+            ds = real_dataset()
+            idxs = np.random.default_rng(0).permutation(len(ds))[:n]
+            for i in idxs:
+                yield ds.get_core(int(i))
+
+    fitted = None
+    if args.fit_caps:
+        fitted, stats = fit_caps(cores(), spec, args.cap_margin)
+        print(f"# capacity fit over {stats['samples']} samples "
+              f"(margin {args.cap_margin:.0%}):")
+        for k in ("scene", "inst"):
+            print(f"#   {k}_rows p50={stats[f'{k}_p50']} "
+                  f"p95={stats[f'{k}_p95']} max={stats[f'{k}_max']}")
+        print(f"#   candidates max={stats['cand_max']}, "
+              f"instances max={stats['inst_count_max']}")
+        print("# fitted capacities (overflow-free on this data by construction):")
+        for k, v in fitted.items():
+            print(f"  {k}: {v}")
+        spec = dataclasses.replace(
+            spec,
+            scene_caps=tuple(fitted["scene_caps"]),
+            inst_caps=tuple(fitted["inst_caps"]),
+            max_candidates=fitted["max_candidates"],
+            max_instances=fitted["max_instances"],
+        )
 
     def batches():
         if args.synthetic:
@@ -185,19 +343,9 @@ def main(argv=None):
                         mean_size_arr=mean_size,
                     )
         else:
-            from instancerefer_tpu.data.dataset import (
-                PaddedLoader,
-                ScannetReferenceDataset,
-                get_scanrefer,
-            )
+            from instancerefer_tpu.data.dataset import PaddedLoader
 
-            scanrefer = get_scanrefer(args.data_root, args.split)
-            ds = ScannetReferenceDataset(
-                scanrefer, args.split, data_root=args.data_root,
-                num_points=cfg.num_points, use_augment=False,
-                use_color=cfg.use_color, use_normal=cfg.use_normal,
-                use_multiview=cfg.use_multiview, use_height=cfg.use_height,
-            )
+            ds = real_dataset()
             loader = PaddedLoader(ds, spec, batch_size=args.batch_size,
                                   shuffle=True, seed=0)
             it = iter(loader)
@@ -362,8 +510,18 @@ def main(argv=None):
             f"  pallas_down_subwin_inst: {down_sub('inst')}",
             f"  pallas_up_window: {up_w}",
             f"  pallas_up_subwin: {recommend(up_all, args.margin)}",
-            "",
         ]
+        if fitted is not None:
+            lines += [
+                "  # fitted capacities (--fit-caps, margin "
+                f"{args.cap_margin:.0%} over the measured max — overflow-free "
+                "on the calibration data)",
+                f"  scene_caps: {fitted['scene_caps']}",
+                f"  inst_caps: {fitted['inst_caps']}",
+                f"  max_candidates: {fitted['max_candidates']}",
+                f"  max_instances: {fitted['max_instances']}",
+            ]
+        lines.append("")
         with open(args.emit_yaml, "w") as f:
             f.write("\n".join(lines))
         print(f"\n# wrote band profile: {args.emit_yaml}")

@@ -69,6 +69,30 @@ def resolve_run_dir(cfg: Config) -> str:
     )
 
 
+def check_eval_overflow(overflow_max: dict, allow: bool):
+    """Fail loud when eval data overflowed any padded capacity (VERDICT r4
+    #2): the reference evaluates ragged, uncapped lists
+    (``lib/dataset.py:207-245``), so a truncated candidate/voxel at eval is a
+    silent metric deviation.  ``overflow_max``: {"scene"/"inst"/"cand": max
+    per-sample overflow fraction seen}.  ``allow`` downgrades to a warning
+    (--allow_overflow)."""
+    bad = {k: v for k, v in overflow_max.items() if v > 0}
+    if not bad:
+        return
+    msg = (
+        "capacity overflow at eval — padded caps truncated data the "
+        f"reference would keep (max per-sample overflow fraction: {bad}). "
+        "Fit caps to this dataset with `scripts/calibrate_bands.py "
+        "--fit-caps --emit-yaml <profile>` and point the config's "
+        "band_profile at it, or re-run with --allow_overflow to accept "
+        "the deviation (see DEVIATIONS.md D4)."
+    )
+    if allow:
+        print(f"WARNING: {msg}")
+    else:
+        raise SystemExit(f"ERROR: {msg}")
+
+
 def _pop_band_diagnostics(dd, _warned=[]):
     """Strip the 0-d band-drop counters before jit (shared helper) and warn
     once if bands ever dropped a neighbor."""
@@ -218,8 +242,15 @@ def eval_ref(cfg: Config):
             for k in ["ref_iou", "ref_acc", "multiple", "others",
                       "lang_correct", "pred_bboxes", "gt_bboxes"]
         }
+        overflow_max = {"scene": 0.0, "inst": 0.0, "cand": 0.0}
         for batch in loader:
             valid = batch.pop("sample_valid", np.ones(cfg.batch_size, bool))
+            for key in overflow_max:
+                ov = batch.get(f"{key}_overflow")
+                if ov is not None:
+                    overflow_max[key] = max(
+                        overflow_max[key], float(np.asarray(ov)[valid].max())
+                    )
             dd = batch_to_device_dict(batch, spec)
             _pop_band_diagnostics(dd)
             res = jax.device_get(
@@ -227,6 +258,9 @@ def eval_ref(cfg: Config):
             )
             for k in all_res:
                 all_res[k].append(np.asarray(res[k])[valid])
+        # gate BEFORE caching: an overflowing run must not leave a cache
+        # that silently short-circuits future (gated) evals
+        check_eval_overflow(overflow_max, cfg.allow_overflow)
         res = {k: np.concatenate(v) for k, v in all_res.items()}
         res["lang_acc"] = res["lang_correct"]
         np.savez(cache_path, **res)
