@@ -15,18 +15,33 @@ import numpy as np
 
 def make_fake_root(root, rng, num_scenes: int = 2, points_per_scene: int = 800):
     """Create the fake tree under ``root`` (a pathlib.Path).  Returns the
-    annotation list (same entries for the train and val splits)."""
+    annotation list (same entries for the train and val splits).
+
+    Verts carry 9 columns (xyz + rgb + normals, the ``prepare_data.py``
+    layout with normals on — reference ``scannet_utils.py:79-116``) so the
+    ``use_normal`` input config is drivable end-to-end; a tiny
+    ``enet_feats_maxpool.hdf5`` (per-scene [n, 128] float32, the
+    ``project_multiview_features.py`` output layout) backs ``use_multiview``.
+    """
     pg = root / "scannet" / "pointgroup_data"
     pg.mkdir(parents=True, exist_ok=True)
     (root / "scannet" / "meta_data").mkdir(parents=True, exist_ok=True)
 
+    import h5py
+
+    mv_h5 = h5py.File(root / "enet_feats_maxpool.hdf5", "w")
     scanrefer = []
     for si in range(num_scenes):
         n = points_per_scene
         scene_id = f"scene{si:04d}_00"
         xyz = rng.uniform(0, 4, size=(n, 3)) + si  # offset scenes apart
         rgb = rng.uniform(0, 255, size=(n, 3))
-        verts = np.concatenate([xyz, rgb], axis=1).astype(np.float32)
+        nrm = rng.normal(size=(n, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        verts = np.concatenate([xyz, rgb, nrm], axis=1).astype(np.float32)
+        mv_h5.create_dataset(
+            scene_id, data=rng.normal(size=(n, 128)).astype(np.float32)
+        )
         # 3 instances: two chairs (nyu40 5), one table (nyu40 7)
         ins = np.zeros(n, np.int64)
         sem = np.zeros(n, np.int64)
