@@ -45,8 +45,13 @@ class GRUCellScan(nn.Module):
     reverse: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-        """x: [B, T, C] -> outputs [B, T, H] (zeros past lengths)."""
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, params_only=False):
+        """x: [B, T, C] -> outputs [B, T, H] (zeros past lengths).
+
+        ``params_only=True`` just defines/returns (wx, wh, bx, bh) so
+        ``MaskedGRU`` can run both directions of a layer in ONE fused scan
+        while the parameter tree keeps the exact per-direction layout the
+        torch converter and goldens pin."""
         b, t, c = x.shape
         h = self.hidden_size
         scale = h ** -0.5  # torch GRU init: U(-1/sqrt(hidden), 1/sqrt(hidden))
@@ -54,6 +59,8 @@ class GRUCellScan(nn.Module):
         wh = self.param("wh", _uniform(scale), (h, 3 * h))
         bx = self.param("bx", _uniform(scale), (3 * h,))
         bh = self.param("bh", _uniform(scale), (3 * h,))
+        if params_only:
+            return wx, wh, bx, bh
 
         # Precompute all input projections in one big MXU matmul: [B*T, 3H].
         xproj = (x.reshape(b * t, c) @ wx + bx).reshape(b, t, 3 * h)
@@ -85,7 +92,18 @@ class GRUCellScan(nn.Module):
 
 
 class MaskedGRU(nn.Module):
-    """Stacked (bi)directional GRU matching ``nn.GRU(batch_first=True)``."""
+    """Stacked (bi)directional GRU matching ``nn.GRU(batch_first=True)``.
+
+    The bidirectional case runs BOTH directions of a layer in one fused
+    ``lax.scan``: the backward direction consumes the time-reversed input
+    stream, the two hidden states ride a stacked [2, B, H] carry, and the
+    per-step recurrent matmul is one batched [2,B,H]x[2,H,3H] dot_general.
+    The scan step is latency-bound at these shapes (measured: the lang
+    module is a ~3.7 ms/batch occupancy-independent floor of the eval
+    step, scripts/occupancy_floor.py), so halving the sequential step
+    count (4T -> 2T per 2-layer stack) attacks the floor directly while
+    the math and the per-direction parameter tree stay exactly those of
+    torch ``nn.GRU`` (oracle-pinned by tests/test_gru.py)."""
 
     hidden_size: int
     num_layers: int = 2
@@ -95,17 +113,60 @@ class MaskedGRU(nn.Module):
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
         out = x
         for layer in range(self.num_layers):
-            fwd = GRUCellScan(self.hidden_size, reverse=False, name=f"l{layer}_fwd")(
-                out, lengths
-            )
-            if self.bidirectional:
-                bwd = GRUCellScan(self.hidden_size, reverse=True, name=f"l{layer}_bwd")(
-                    out, lengths
-                )
-                out = jnp.concatenate([fwd, bwd], axis=-1)
-            else:
-                out = fwd
+            fwd_mod = GRUCellScan(self.hidden_size, reverse=False,
+                                  name=f"l{layer}_fwd")
+            if not self.bidirectional:
+                out = fwd_mod(out, lengths)
+                continue
+            bwd_mod = GRUCellScan(self.hidden_size, reverse=True,
+                                  name=f"l{layer}_bwd")
+            pf = fwd_mod(out, lengths, params_only=True)
+            pb = bwd_mod(out, lengths, params_only=True)
+            out = _fused_bidir_scan(out, lengths, pf, pb)
         return out
+
+
+def _fused_bidir_scan(x, lengths, pf, pb):
+    """One scan for both directions: j indexes forward time for direction 0
+    and reversed time (t = T-1-j) for direction 1, reproducing the packed
+    reverse-pass semantics of GRUCellScan(reverse=True)."""
+    b, t, c = x.shape
+    h = pf[1].shape[0]
+    # input projections for all timesteps, one GEMM per direction
+    xproj_f = (x.reshape(b * t, c) @ pf[0] + pf[2]).reshape(b, t, 3 * h)
+    xproj_b = (x.reshape(b * t, c) @ pb[0] + pb[2]).reshape(b, t, 3 * h)
+    # direction 1 sees reversed time; stack to [T, 2, B, 3H] scan stream
+    xp = jnp.stack([xproj_f, xproj_b[:, ::-1]], axis=0)  # [2, B, T, 3H]
+    xp = jnp.moveaxis(xp, 2, 0)  # [T, 2, B, 3H]
+    ts = jnp.arange(t)
+    tval = jnp.stack([ts, ts[::-1]], axis=1)  # [T, 2] real time per direction
+    wh = jnp.stack([pf[1], pb[1]], axis=0)  # [2, H, 3H]
+    bh = jnp.stack([pf[3], pb[3]], axis=0)  # [2, 3H]
+
+    def step(hprev, inp):
+        xp_j, tv = inp  # [2, B, 3H], [2]
+        hp = (
+            jax.lax.dot_general(
+                hprev, wh, (((2,), (1,)), ((0,), (0,)))
+            )
+            + bh[:, None]
+        )
+        xr, xz, xn = jnp.split(xp_j, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        hnew = (1.0 - z) * n + z * hprev
+        valid = (tv[:, None] < lengths[None, :])[..., None]  # [2, B, 1]
+        hnext = jnp.where(valid, hnew, hprev)
+        out = jnp.where(valid, hnew, 0.0)
+        return hnext, out
+
+    h0 = jnp.zeros((2, b, h), dtype=x.dtype)
+    _, outs = jax.lax.scan(step, h0, (xp, tval))  # outs [T, 2, B, H]
+    fwd = jnp.moveaxis(outs[:, 0], 0, 1)  # [B, T, H]
+    bwd = jnp.moveaxis(outs[:, 1], 0, 1)[:, ::-1]
+    return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 def length_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
