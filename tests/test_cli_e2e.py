@@ -28,7 +28,10 @@ pytestmark = pytest.mark.slow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=900):
+def _run(args, timeout=2400):
+    # 2400s, not 900: on a degraded/oversubscribed 1-core box the CPU
+    # compile of the train step alone has been observed to exceed 15 min
+    # (normal: ~2-3 min); the timeout is a hang backstop, not a perf gate.
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
@@ -190,7 +193,7 @@ def test_parity_eval_runbook(trained):
     res = subprocess.run(
         ["bash", "scripts/parity_eval.sh", str(root), pth, str(yaml_path),
          str(root / "parity_out")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
     )
     assert res.returncode == 0, (
         f"parity_eval.sh failed ({res.returncode})\n--- stdout:\n"
